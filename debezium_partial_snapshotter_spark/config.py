@@ -1,0 +1,73 @@
+"""Pipeline configuration.
+
+Spark analog of the reference's ``PartialSnapshotConfig.java:15-67``:
+tracker table name, primary-key name, and the
+``snapshot.partial.skip.existing.connector`` record-only flag — plus the
+engine knobs the reference delegates to Debezium/Kafka (partitioning,
+salting, checkpointing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # identity — reference server_name (multi-connector keying,
+    # PartialSnapshotterTest.java:303-342)
+    pipeline_id: str = "pipeline1"
+
+    # storage roots
+    warehouse: str = "/tmp/dps_warehouse"
+    target_table: str = "tokens"
+    tracker_table: str = "snapshot_tracker"  # configurable, reference
+    # PartialSnapshotConfig.java:39-53 (default public.snapshot_tracker)
+
+    # partitioning: unit of snapshot work is (table, bucket); data files
+    # are laid out bucket(num_buckets, doc_id) so upserts touch only the
+    # buckets with incoming keys (Iceberg-style bucketed copy-on-write).
+    num_buckets: int = 32
+
+    # reference snapshot.partial.skip.existing.connector
+    # (PartialSnapshotConfig.java:55-63): when true and the tracker is
+    # fresh / this pipeline unseen, register rows but snapshot nothing.
+    skip_existing_connector: bool = False
+
+    # fail-safe policy when the tracker is unreadable. Reference defaults
+    # differ by path: JDBC error -> skip (PostgresJdbcFilterHandler:142-145),
+    # threaded timeout -> snapshot (ThreadedSnapshotFilter.java:51-58).
+    on_tracker_error: str = "skip"  # skip | snapshot | fail
+
+    # skew: number of salt cells for the two-phase latest-event reduction
+    # (0 = disabled; partial aggregation alone handles mild skew).
+    salt_buckets: int = 0
+
+    # dedup strategy: 'max_by' (groupBy + max_by: map-side partial agg,
+    # least shuffle) or 'window' (row_number; needed when we must keep
+    # all pre-images).
+    dedup_strategy: str = "max_by"
+
+    # streaming
+    checkpoint_dir: str = field(default="")
+    max_files_per_trigger: int = 8
+
+    def __post_init__(self) -> None:
+        if not self.checkpoint_dir:
+            self.checkpoint_dir = f"{self.warehouse}/_checkpoints/{self.pipeline_id}"
+
+    @property
+    def target_path(self) -> str:
+        return f"{self.warehouse}/{self.target_table}"
+
+    @property
+    def tracker_path(self) -> str:
+        return f"{self.warehouse}/{self.tracker_table}"
+
+    @property
+    def commit_log_path(self) -> str:
+        return f"{self.warehouse}/_commit_log/{self.target_table}"
+
+    @property
+    def metrics_path(self) -> str:
+        return f"{self.warehouse}/_metrics/{self.target_table}"

@@ -1,0 +1,302 @@
+"""LakeTable — bucketed copy-on-write table with atomic manifest commits.
+
+Provides, without requiring the Iceberg runtime jar, the same contract the
+engine needs from Iceberg (SURVEY.md §7 "Iceberg caveat"):
+
+- **snapshot isolation**: readers pin a manifest version; a commit is a
+  single atomic manifest swap (hard-link create fails if the version
+  exists => optimistic CAS, like Iceberg's commit).
+- **bucketed copy-on-write**: data files are laid out by
+  ``bucket(num_buckets, key)``; a MERGE rewrites only the buckets that
+  contain incoming keys — at 100 TB an epoch touching 1% of keys rewrites
+  ~1% of files, never the table.
+- **idempotent commits**: every commit may carry a ``commit_key``
+  (``pipeline_id:epoch``); keys are recorded in the manifest, so the
+  exactly-once marker commits atomically WITH the data (north rule:
+  idempotent commits keyed by (checkpoint epoch, partition)).
+- **transactional schema evolution**: the manifest owns the schema;
+  add-column / type-widen swaps in the same commit as the data that needs
+  it; old files are up-cast on read.
+
+On a real cluster the same engine code runs against Iceberg by swapping
+this class for a thin Iceberg adapter (MERGE INTO / RewriteFiles); the
+operator layer only uses ``read / replace_buckets / committed_keys``.
+
+Reference analog: the plugin's transactional tracker bookkeeping
+(``PostgresJdbcFilterHandler.java:73-137``) — BEGIN/COMMIT around
+read-modify-write — generalized to data-plane commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    pass
+
+
+def _atomic_create(tmp_path: str, final_path: str) -> bool:
+    """Atomically create final_path from tmp_path; False if it exists.
+
+    ``os.link`` is atomic on POSIX and fails with EEXIST when another
+    writer won the race — the CAS primitive behind optimistic commits.
+    """
+    try:
+        os.link(tmp_path, final_path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+
+
+class LakeTable:
+    """A path-addressed, bucketed, manifest-committed parquet table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.manifest_dir = os.path.join(path, MANIFEST_DIR)
+        self.data_dir = os.path.join(path, DATA_DIR)
+
+    # ---------------------------------------------------------------- DDL
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: StructType,
+        num_buckets: int = 32,
+        bucket_key: str = "doc_id",
+        if_not_exists: bool = True,
+    ) -> "LakeTable":
+        """CREATE TABLE [IF NOT EXISTS] — reference analog: tracker
+        bootstrap DDL + to_regclass existence probe
+        (``PostgresJdbcFilterHandler.java:21-27,206-234``)."""
+        t = cls(path)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(path)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        manifest = {
+            "version": 1,
+            "schema": json.loads(schema.json()),
+            "num_buckets": num_buckets,
+            "bucket_key": bucket_key,
+            "buckets": {},  # str(bucket) -> [relative file paths]
+            "commit_keys": [],
+            "watermark_lsn": -1,
+            "parent": None,
+            "ts": time.time(),
+        }
+        t._write_manifest(manifest)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.manifest_dir) and bool(self._versions())
+
+    def drop(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+
+    # ---------------------------------------------------------- manifests
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no manifest in {self.path}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.manifest_dir, f"v{v:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(self.manifest_dir, f"v{v:08d}.json")
+        if not _atomic_create(tmp, final):
+            raise CommitConflict(f"version {v} already committed in {self.path}")
+
+    # ------------------------------------------------------------- schema
+    def schema(self, version: int | None = None) -> StructType:
+        return StructType.fromJson(self.manifest(version)["schema"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest()["num_buckets"]
+
+    @property
+    def bucket_key(self) -> str:
+        return self.manifest()["bucket_key"]
+
+    def committed_keys(self) -> set[str]:
+        return set(self.manifest()["commit_keys"])
+
+    def watermark_lsn(self) -> int:
+        return self.manifest().get("watermark_lsn", -1)
+
+    # --------------------------------------------------------------- read
+    def _files(self, manifest: dict, buckets: Iterable[int] | None = None) -> list[str]:
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        out: list[str] = []
+        for b, files in manifest["buckets"].items():
+            if wanted is None or b in wanted:
+                out.extend(os.path.join(self.path, f) for f in files)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan; bucket pruning = pass only the buckets a MERGE touches.
+
+        Old-schema files are up-cast to the current manifest schema
+        (missing columns -> NULL, int32 -> int64 widening), which is how
+        Iceberg serves post-evolution reads without rewriting data.
+        """
+        man = self.manifest(version)
+        schema = StructType.fromJson(man["schema"])
+        files = self._files(man, buckets)
+        if not files:
+            return spark.createDataFrame([], schema)
+        # mergeSchema handles files written before an add-column /
+        # type-widen evolution; the explicit select casts to the manifest
+        # schema so every reader sees one shape.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # ------------------------------------------------------------- commit
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        affected_buckets: list[int],
+        commit_key: str | None = None,
+        new_schema: StructType | None = None,
+        watermark_lsn: int | None = None,
+        max_retries: int = 5,
+    ) -> bool:
+        """Copy-on-write commit: atomically swap the file lists of
+        ``affected_buckets`` for freshly-written parquet of ``df``.
+
+        df must already be the complete new content of those buckets and
+        must carry an integer ``_bucket`` column. Returns False when
+        ``commit_key`` was already committed (idempotent replay —
+        exactly-once under at-least-once delivery).
+        """
+        if commit_key is not None and commit_key in self.committed_keys():
+            return False
+
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"c-{commit_id}")
+        # One shuffle keyed on _bucket so each bucket's rows co-locate;
+        # partitionBy then emits one file per (task, bucket). AQE coalesces
+        # small partitions.
+        n_out = max(1, len(affected_buckets))
+        (
+            df.repartition(n_out, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+
+        # harvest written files per bucket
+        new_files: dict[str, list[str]] = {str(b): [] for b in affected_buckets}
+        for entry in os.listdir(commit_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(commit_dir, entry)
+            rel = os.path.relpath(bdir, self.path)
+            files = [
+                os.path.join(rel, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+            new_files.setdefault(b, []).extend(sorted(files))
+
+        for attempt in range(max_retries):
+            man = self.manifest()
+            if commit_key is not None and commit_key in set(man["commit_keys"]):
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                return False
+            new_man = {
+                **man,
+                "version": man["version"] + 1,
+                "parent": man["version"],
+                "buckets": {**man["buckets"]},
+                "commit_keys": man["commit_keys"]
+                + ([commit_key] if commit_key else []),
+                "ts": time.time(),
+            }
+            for b, files in new_files.items():
+                if files:
+                    new_man["buckets"][b] = files
+                else:
+                    new_man["buckets"].pop(b, None)  # bucket emptied
+            if new_schema is not None:
+                new_man["schema"] = json.loads(new_schema.json())
+            if watermark_lsn is not None:
+                new_man["watermark_lsn"] = max(
+                    watermark_lsn, man.get("watermark_lsn", -1)
+                )
+            try:
+                self._write_manifest(new_man)
+                return True
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return True
+
+    def overwrite(self, df: DataFrame, new_schema: StructType | None = None) -> None:
+        """Full rewrite (bootstrap loads / tiny control tables)."""
+        nb = self.num_buckets
+        key = self.bucket_key
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        staged = df.withColumn("_bucket", bucket_id(F.col(key), nb))
+        self.replace_buckets(
+            staged,
+            affected_buckets=list(range(nb)),
+            new_schema=new_schema,
+        )
+
+    # ------------------------------------------------------------ utility
+    def to_pandas(self, spark: SparkSession):
+        return self.read(spark).toPandas()

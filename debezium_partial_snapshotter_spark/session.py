@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the CDC-apply workload.
+
+Local-mode settings mirror what we would set on a real multi-executor
+cluster; partition counts are sized by ``parallelism`` so the same code
+scales from ``local[8]`` to 1000 executors by changing one knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dps-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    parallelism: local core count (default: $SPARK_GRAFT_CPUS or 32).
+    shuffle_partitions: default = parallelism (small-scale); at cluster
+    scale this should be ~2-3x total cores — callers pass it explicitly.
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = parallelism
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        # AQE: runtime coalescing + skew-join splitting. Free wins at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        # Arrow everywhere: pandas UDFs and toPandas ride Arrow batches.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep timestamps sane across engines.
+        .config("spark.sql.session.timeZone", "UTC")
+        # In-memory-ish local shuffle behavior; silence UI for CI.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: the tracker/commit-log tables are tiny and
+        # must broadcast, never shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("DPS_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,252 @@
+"""Deterministic synthetic change-event log + sequential oracle (M0).
+
+Plays the role of the reference's SQL fixtures + golden expected records
+(``PartialSnapshotterTest.java:44-52,444-471``): a seeded generator
+produces (a) an initial tokens-table state, (b) a WAL-style change-event
+log with hot-key skew, inserts/updates/deletes, and optional
+schema-evolution events; and the **oracle** applies the full event
+sequence one row at a time in ``(lsn, op_rank)`` order — the engine's
+distributed replay must reproduce the oracle's final state with
+byte-equal token arrays (BASELINE.json per-row invariant).
+
+Generation is vectorized numpy + pyarrow (no Spark dependency) so the
+oracle side shares zero code with the engine under test.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from debezium_partial_snapshotter_spark.functions import bucket_id_py
+from debezium_partial_snapshotter_spark.schemas import OP_RANK
+
+VOCAB = 50257
+SOURCES = ["cc", "web", "books", "code", "wiki"]
+
+
+@dataclass
+class EventLogSpec:
+    n_docs: int = 1000
+    n_events: int = 5000
+    n_segments: int = 4
+    seed: int = 42
+    mean_tokens: float = 48.0
+    max_tokens: int = 512
+    hot_frac: float = 0.002  # fraction of docs that are hot keys
+    hot_weight: float = 100.0  # relative update rate of a hot key
+    delete_frac: float = 0.05
+    new_doc_frac: float = 0.10  # events targeting brand-new doc_ids
+    start_lsn: int = 1_000_000
+    num_buckets: int = 32
+    table: str = "tokens"
+    schema_v2: bool = False  # emit evolved payload (lang col, n_tok int64)
+    extra: dict = field(default_factory=dict)
+
+
+def _doc_id(i: int) -> str:
+    return f"doc{i:08d}"
+
+
+def _token_lengths(rng: np.random.Generator, n: int, spec: EventLogSpec) -> np.ndarray:
+    ln = rng.lognormal(mean=np.log(spec.mean_tokens), sigma=0.6, size=n)
+    return np.clip(ln.astype(np.int64), 1, spec.max_tokens)
+
+
+def _token_values(rng: np.random.Generator, total: int) -> np.ndarray:
+    return rng.integers(0, VOCAB, size=total, dtype=np.int32)
+
+
+def _rows_to_arrow(
+    ops: list[str],
+    doc_ids: list[str],
+    lsns: list[int],
+    snapshots: list[str | None],
+    afters: list[dict | None],
+    spec: EventLogSpec,
+) -> pa.Table:
+    v2 = spec.schema_v2
+    after_fields = [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int64() if v2 else pa.int32()),
+        pa.field("source", pa.string()),
+    ]
+    if v2:
+        after_fields.append(pa.field("lang", pa.string()))
+    after_type = pa.struct(after_fields)
+    schema = pa.schema(
+        [
+            pa.field("op", pa.string()),
+            pa.field("doc_id", pa.string()),
+            pa.field("lsn", pa.int64()),
+            pa.field("snapshot", pa.string()),
+            pa.field("table_partition", pa.string()),
+            pa.field("after", after_type),
+        ]
+    )
+    tp = [
+        f"{spec.table}/{bucket_id_py(d, spec.num_buckets):04d}" for d in doc_ids
+    ]
+    return pa.table(
+        {
+            "op": pa.array(ops, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "lsn": pa.array(lsns, pa.int64()),
+            "snapshot": pa.array(snapshots, pa.string()),
+            "table_partition": pa.array(tp, pa.string()),
+            "after": pa.array(afters, after_type),
+        },
+        schema=schema,
+    )
+
+
+def _make_after(
+    doc_id: str, tokens: np.ndarray, source: str, spec: EventLogSpec
+) -> dict:
+    row = {
+        "doc_id": doc_id,
+        "tokens": tokens,
+        "n_tok": int(len(tokens)),
+        "source": source,
+    }
+    if spec.schema_v2:
+        row["lang"] = ["en", "de", "fr", "zh", "es"][len(tokens) % 5]
+    return row
+
+
+def generate_initial_state(spec: EventLogSpec) -> list[dict]:
+    """The source table's content at snapshot time: one row per doc."""
+    rng = np.random.default_rng(spec.seed)
+    lens = _token_lengths(rng, spec.n_docs, spec)
+    flat = _token_values(rng, int(lens.sum()))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    out = []
+    for i in range(spec.n_docs):
+        toks = flat[offs[i] : offs[i + 1]]
+        out.append(
+            _make_after(_doc_id(i), toks, SOURCES[i % len(SOURCES)], spec)
+        )
+    return out
+
+
+def snapshot_read_events(
+    state: list[dict],
+    watermark_lsn: int,
+    spec: EventLogSpec,
+    buckets: set[int] | None = None,
+) -> pa.Table:
+    """Bounded snapshot scan of ``state`` as 'r' events at the snapshot
+    watermark (reference B1: rows tagged source.snapshot='true'/'last',
+    ``PartialSnapshotterTest.java:426-431``). Restricted to ``buckets``
+    when a partial snapshot claims only some partitions."""
+    rows = [
+        r
+        for r in state
+        if buckets is None or bucket_id_py(r["doc_id"], spec.num_buckets) in buckets
+    ]
+    n = len(rows)
+    ops = ["r"] * n
+    snaps = ["true"] * n
+    if snaps:
+        snaps[-1] = "last"
+    return _rows_to_arrow(
+        ops,
+        [r["doc_id"] for r in rows],
+        [watermark_lsn] * n,
+        snaps,
+        rows,
+        spec,
+    )
+
+
+def generate_change_log(
+    spec: EventLogSpec,
+    out_dir: str | None = None,
+    first_lsn: int | None = None,
+    doc_offset: int = 0,
+) -> list[pa.Table]:
+    """WAL-tail events: updates with hot-key skew, deletes, inserts of
+    new docs. LSNs strictly increase across the whole log. Returns the
+    segment tables; writes ``seg-%05d.parquet`` files when out_dir set."""
+    rng = np.random.default_rng(spec.seed + 7919)
+    n_ev = spec.n_events
+    first_lsn = spec.start_lsn if first_lsn is None else first_lsn
+
+    # skewed choice of existing docs: hot set gets hot_weight
+    n_hot = max(1, int(spec.n_docs * spec.hot_frac))
+    weights = np.ones(spec.n_docs, dtype=np.float64)
+    weights[:n_hot] = spec.hot_weight
+    weights /= weights.sum()
+
+    n_new = int(n_ev * spec.new_doc_frac)
+    new_ids = np.arange(spec.n_docs, spec.n_docs + n_new) + doc_offset
+    exist_idx = rng.choice(spec.n_docs, size=n_ev - n_new, p=weights) + doc_offset
+
+    # interleave new-doc creates uniformly through the log
+    doc_idx = np.empty(n_ev, dtype=np.int64)
+    new_pos = rng.choice(n_ev, size=n_new, replace=False)
+    mask = np.zeros(n_ev, dtype=bool)
+    mask[new_pos] = True
+    doc_idx[mask] = new_ids
+    doc_idx[~mask] = exist_idx
+
+    is_delete = (rng.random(n_ev) < spec.delete_frac) & ~mask
+    lsns = first_lsn + 1 + np.arange(n_ev, dtype=np.int64)
+
+    lens = _token_lengths(rng, n_ev, spec)
+    lens[is_delete] = 0
+    flat = _token_values(rng, int(lens.sum()))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+
+    tables = []
+    seg_bounds = np.array_split(np.arange(n_ev), spec.n_segments)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    for si, seg in enumerate(seg_bounds):
+        ops, dids, ls, snaps, afters = [], [], [], [], []
+        for j in seg:
+            d = _doc_id(int(doc_idx[j]))
+            if is_delete[j]:
+                ops.append("d")
+                afters.append(None)
+            else:
+                ops.append("c" if mask[j] else "u")
+                toks = flat[offs[j] : offs[j + 1]]
+                afters.append(
+                    _make_after(d, toks, SOURCES[int(doc_idx[j]) % len(SOURCES)], spec)
+                )
+            dids.append(d)
+            ls.append(int(lsns[j]))
+            snaps.append("false")
+        t = _rows_to_arrow(ops, dids, ls, snaps, afters, spec)
+        tables.append(t)
+        if out_dir:
+            pq.write_table(t, os.path.join(out_dir, f"seg-{si:05d}.parquet"))
+    return tables
+
+
+# ----------------------------------------------------------------- oracle
+def oracle_apply(
+    tables: list[pa.Table], initial: dict[str, dict] | None = None
+) -> dict[str, dict]:
+    """Sequential single-threaded reference semantics: sort ALL events by
+    (lsn, op_rank) and apply one at a time — last image wins, delete
+    removes, snapshot read at watermark W loses to any WAL event with
+    lsn >= W (OP_RANK['r']=0). The distributed engine must match this
+    exactly (SURVEY.md B4/B5)."""
+    events = []
+    for t in tables:
+        events.extend(t.to_pylist())
+    events.sort(key=lambda e: (e["lsn"], OP_RANK.get(e["op"], 1)))
+    state: dict[str, dict] = dict(initial or {})
+    for e in events:
+        if e["op"] == "d":
+            state.pop(e["doc_id"], None)
+        else:
+            state[e["doc_id"]] = e["after"]
+    return state

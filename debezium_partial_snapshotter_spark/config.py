@@ -52,6 +52,11 @@ class PipelineConfig:
     checkpoint_dir: str = field(default="")
     max_files_per_trigger: int = 8
 
+    # explicit tracker location — lets several pipelines share ONE tracker
+    # table (reference: compound PK (table_name, server_name) on a single
+    # tracker, README.md:68)
+    tracker_path_override: str = ""
+
     def __post_init__(self) -> None:
         if not self.checkpoint_dir:
             self.checkpoint_dir = f"{self.warehouse}/_checkpoints/{self.pipeline_id}"
@@ -62,7 +67,7 @@ class PipelineConfig:
 
     @property
     def tracker_path(self) -> str:
-        return f"{self.warehouse}/{self.tracker_table}"
+        return self.tracker_path_override or f"{self.warehouse}/{self.tracker_table}"
 
     @property
     def commit_log_path(self) -> str:

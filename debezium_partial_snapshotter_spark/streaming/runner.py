@@ -1,0 +1,254 @@
+"""PartialIngestRunner — the engine's lifecycle orchestrator.
+
+Spark re-expression of the reference connector's phase machine
+(SURVEY.md §3.1/§3.3):
+
+1. **bootstrap** — open/create tracker (A3); decide record-only mode
+   (A9: ``skip_existing_connector`` and tracker-fresh-or-unseen,
+   ``PostgresJdbcFilterHandler.java:64-68``).
+2. **catch-up** — replay WAL written while the pipeline was down,
+   BEFORE any new partial snapshot (B3; pinned by
+   ``PartialSnapshotterTest.java:183-237``).
+3. **snapshot epoch** — claim needs-snapshot partitions atomically
+   (A1/A4-A6), bounded scan of ONLY those buckets tagged 'r' at the
+   snapshot watermark (B1), apply, then bulk release (A7). The
+   reference infers snapshot-end by counting shouldStream() calls on
+   old engines (A11 — a self-described HACK); here the phase machine is
+   explicit.
+4. **tail** — Structured Streaming over the change-event feed with
+   ``foreachBatch`` apply (B2); exactly-once = checkpoint (deterministic
+   batch replay) + idempotent commit keys in the target manifest (B6)
+   + a global LSN high-watermark filter, so re-reads after checkpoint
+   loss cannot resurrect deleted keys or double-apply.
+
+Epoch numbering is monotonic across restarts (resumed from the commit
+log); each epoch writes lineage/metrics rows (B9).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_partial_snapshotter_spark.config import PipelineConfig
+from debezium_partial_snapshotter_spark.operators.upsert import (
+    apply_batch,
+    empty_table_for,
+)
+from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+from debezium_partial_snapshotter_spark.plans.metrics import (
+    COMMIT_LOG_ARROW,
+    METRICS_ARROW,
+    AppendLog,
+)
+from debezium_partial_snapshotter_spark.plans.tracker import SnapshotTracker
+from debezium_partial_snapshotter_spark.schemas import TOKENS_SCHEMA
+from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+
+
+class PartialIngestRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        source: ParquetWalSource,
+        payload_schema=TOKENS_SCHEMA,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.source = source
+        tracker_existed = SnapshotTracker(cfg.tracker_path).exists()
+        self.tracker = SnapshotTracker.create(cfg.tracker_path)
+        # A9 record-only decision (PostgresJdbcFilterHandler.java:64-68):
+        # skip flag AND (tracker fresh OR this pipeline unseen)
+        self.record_only = cfg.skip_existing_connector and (
+            not tracker_existed
+            or not self.tracker.connector_is_tracked(cfg.pipeline_id)
+        )
+        self.table = empty_table_for(
+            cfg.target_path, payload_schema, num_buckets=cfg.num_buckets
+        )
+        self.metrics = AppendLog(cfg.metrics_path, METRICS_ARROW)
+        self.commit_log = AppendLog(cfg.commit_log_path, COMMIT_LOG_ARROW)
+        self._epoch = self._resume_epoch()
+
+    # ------------------------------------------------------------ helpers
+    def _resume_epoch(self) -> int:
+        df = self.commit_log.read_pandas()
+        mine = df[df["pipeline_id"] == self.cfg.pipeline_id]
+        return int(mine["checkpoint_epoch"].max()) + 1 if len(mine) else 0
+
+    def discovered_partitions(self) -> list[str]:
+        """The set of (table, bucket) work units — the analog of
+        Debezium's monitored-tables discovery (B7 include/exclude
+        filtering happens here: the tracker itself is never in the
+        data plane)."""
+        t = self.cfg.target_table
+        return [f"{t}/{b:04d}" for b in range(self.cfg.num_buckets)]
+
+    @staticmethod
+    def buckets_of(partitions: list[str]) -> list[int]:
+        return sorted(int(p.rsplit("/", 1)[1]) for p in partitions)
+
+    def _record(self, phase: str, epoch: int, stats: dict, rows_read: int | None = None):
+        wall = max(stats.get("wall_ms") or 1, 1)
+        applied = stats.get("rows_live")
+        self.metrics.append(
+            [
+                {
+                    "epoch": epoch,
+                    "partition": "*",
+                    "phase": phase,
+                    "rows_read": rows_read,
+                    "rows_applied": int(applied) if applied is not None else None,
+                    "events_per_sec": (rows_read or 0) / (wall / 1000.0),
+                    "wall_ms": wall,
+                    "watermark_lsn": stats.get("watermark_lsn"),
+                }
+            ]
+        )
+        if stats.get("applied"):
+            self.commit_log.append(
+                [
+                    {
+                        "pipeline_id": self.cfg.pipeline_id,
+                        "checkpoint_epoch": epoch,
+                        "commit_key": stats.get("commit_key"),
+                        "phase": phase,
+                        "batch_keys": stats.get("batch_keys"),
+                        "watermark_lsn": stats.get("watermark_lsn"),
+                        "table_version": self.table.current_version(),
+                        "committed_at": time.time(),
+                    }
+                ]
+            )
+
+    def _apply(self, events: DataFrame, phase: str, commit_key: str) -> dict:
+        stats = apply_batch(
+            self.table,
+            events,
+            commit_key=commit_key,
+            dedup_strategy=self.cfg.dedup_strategy,
+            salt_buckets=self.cfg.salt_buckets,
+        )
+        stats["commit_key"] = commit_key
+        return stats
+
+    # ------------------------------------------------------------- phases
+    def catchup(self) -> dict:
+        """B3 — drain the WAL backlog before any snapshot work. Only
+        events past the table's LSN high watermark apply (idempotent
+        under overlapping re-reads)."""
+        epoch = self._epoch
+        wm = self.table.watermark_lsn()
+        events = self.source.wal_batch().where(F.col("lsn") > F.lit(wm))
+        key = f"{self.cfg.pipeline_id}:catchup:{epoch}"
+        stats = self._apply(events, "catchup", key)
+        if stats.get("applied"):
+            self._record("catchup", epoch, stats)
+            self._epoch += 1
+        return stats
+
+    def snapshot_epoch(self) -> dict:
+        """The partial-snapshot pass: claim -> bounded scan of claimed
+        buckets only -> apply -> release (A1-A7, B1)."""
+        epoch = self._epoch
+        try:
+            discovered = self.discovered_partitions()
+            watermark = max(self.source.current_lsn(), self.table.watermark_lsn())
+            claimed = self.tracker.claim(
+                discovered,
+                self.cfg.pipeline_id,
+                record_only=self.record_only,
+                watermark_lsn=watermark,
+                epoch=epoch,
+            )
+        except Exception:
+            # fail-safe policy (reference: SQLException -> skip,
+            # PostgresJdbcFilterHandler.java:142-145; threaded timeout ->
+            # snapshot, ThreadedSnapshotFilter.java:51-58)
+            if self.cfg.on_tracker_error == "fail":
+                raise
+            if self.cfg.on_tracker_error == "snapshot":
+                claimed = self.discovered_partitions()
+                watermark = max(
+                    self.source.current_lsn(), self.table.watermark_lsn()
+                )
+            else:  # skip
+                return {"applied": False, "reason": "tracker_error_skip"}
+
+        if not claimed:
+            # nothing needs a snapshot: still release any stale claims
+            self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
+            return {"applied": False, "reason": "nothing_claimed", "claimed": []}
+
+        events = self.source.snapshot(self.buckets_of(claimed), watermark)
+        key = f"{self.cfg.pipeline_id}:snapshot:{epoch}"
+        stats = self._apply(events, "snapshot", key)
+        self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
+        stats["claimed"] = claimed
+        stats["snapshot_watermark"] = watermark
+        if stats.get("applied"):
+            self._record("snapshot", epoch, stats)
+            self._epoch += 1
+        return stats
+
+    def tail_batch(self, events: DataFrame | None = None) -> dict:
+        """One bounded tail epoch (micro-batch outside Structured
+        Streaming — used by tests and the bench replay loop)."""
+        epoch = self._epoch
+        wm = self.table.watermark_lsn()
+        if events is None:
+            events = self.source.wal_batch()
+        events = events.where(F.col("lsn") > F.lit(wm))
+        key = f"{self.cfg.pipeline_id}:tail:{epoch}"
+        stats = self._apply(events, "tail", key)
+        if stats.get("applied"):
+            self._record("tail", epoch, stats)
+            self._epoch += 1
+        return stats
+
+    # ---------------------------------------------------------- lifecycle
+    def start(self) -> dict:
+        """Full startup sequence: catch-up replay, then partial
+        snapshot (order pinned by the reference's
+        testReplayRecordsDuringResnapshot)."""
+        out = {"catchup": self.catchup(), "snapshot": self.snapshot_epoch()}
+        return out
+
+    def stream(
+        self,
+        process_all_available: bool = True,
+        timeout_sec: float | None = 120.0,
+    ):
+        """B2 — Structured Streaming tail: readStream over the log dir,
+        foreachBatch -> the same idempotent apply. Exactly-once:
+        checkpointed source offsets give deterministic batch replay;
+        the manifest commit key dedupes a re-delivered batch; the LSN
+        high-watermark filter covers checkpoint-less re-reads."""
+        runner = self
+
+        def handle(batch_df: DataFrame, batch_id: int):
+            wm = runner.table.watermark_lsn()
+            filtered = batch_df.where(F.col("lsn") > F.lit(wm))
+            key = f"{runner.cfg.pipeline_id}:stream:{batch_id}"
+            epoch = runner._epoch
+            stats = runner._apply(filtered, "tail", key)
+            if stats.get("applied"):
+                runner._record("tail", epoch, stats)
+                runner._epoch += 1
+
+        q = (
+            self.source.wal_stream(self.cfg.max_files_per_trigger)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if process_all_available:
+            q.awaitTermination(timeout_sec)
+            if q.isActive:
+                q.stop()
+        return q

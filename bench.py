@@ -1,0 +1,218 @@
+"""Benchmark: CDC replay throughput + headline operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "replay_events": N, "replay_events_per_sec": X, "parallelism": P}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32),
+     DPS_BENCH_EVENTS  (override replay event count).
+
+The headline metric is the north-rule one: change-events/sec applied
+replaying a deterministic event log through the full engine (snapshot
+epoch + tail epochs, exactly-once commits). scripts/scaling_bench.py
+runs THIS script at two parallelism levels for the scaling-efficiency
+evidence (BENCH/BASELINE.md).
+
+Note: `jaccard_pairs` is correctness-checked at sf0.01 by the driver but
+excluded from the timed set — the synthetic corpus has a ~40-word
+vocabulary, so unigram candidate generation degenerates to a near-complete
+pair graph at sf0.1 (documented in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "cdc_last_image",
+    "cdc_upsert_final_state",
+    "cdc_snapshot_wal_conflict",
+    "bucket_assignment",
+    "tracker_discovery",
+    "catchup_backlog",
+    "hot_key_histogram",
+    "salted_agg",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "cosine_topk",
+    "ivf_topk",
+    "multimodal_meta",
+    "frame_sample",
+]
+
+
+def guess_sf(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def run_replay(spark, sf: float) -> dict:
+    """North-rule metric: replay a seeded change log through the full
+    engine (snapshot + WAL tail epochs). Generation is NOT timed."""
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.sources.eventlog import (
+        EventLogSpec,
+        generate_change_log,
+        generate_initial_state,
+    )
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_events = int(os.environ.get("DPS_BENCH_EVENTS", int(4_000_000 * sf)))
+    n_docs = max(1000, n_events // 20)
+    n_segments = int(os.environ.get("DPS_BENCH_SEGMENTS", "8"))
+    wh = tempfile.mkdtemp(prefix="dps_bench_")
+    try:
+        spec = EventLogSpec(
+            n_docs=n_docs,
+            n_events=n_events,
+            n_segments=n_segments,
+            seed=42,
+            mean_tokens=48.0,
+            hot_frac=0.001,
+            hot_weight=100.0,
+        )
+        # deterministic input may be cached across runs (the scaling
+        # bench replays the IDENTICAL bytes at both parallelism levels)
+        cache_root = os.environ.get("DPS_BENCH_CACHE_DIR")
+        key = f"e{n_events}_d{n_docs}_s{n_segments}_seed{spec.seed}"
+        src_dir = (
+            os.path.join(cache_root, key) if cache_root else os.path.join(wh, "source")
+        )
+        state_path = os.path.join(src_dir, "state.parquet")
+        log_dir = os.path.join(src_dir, "wal")
+        if not os.path.exists(state_path):
+            os.makedirs(src_dir, exist_ok=True)
+            state = generate_initial_state(spec)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": [r["doc_id"] for r in state],
+                        "tokens": pa.array(
+                            [r["tokens"] for r in state], pa.list_(pa.int32())
+                        ),
+                        "n_tok": pa.array(
+                            [r["n_tok"] for r in state], pa.int32()
+                        ),
+                        "source": [r["source"] for r in state],
+                    }
+                ),
+                state_path + ".tmp",
+            )
+            generate_change_log(spec, out_dir=log_dir)
+            os.rename(state_path + ".tmp", state_path)
+
+        # bucket count is FIXED (not tied to parallelism) so the scaling
+        # bench compares identical work at different core counts
+        nb = int(os.environ.get("DPS_BENCH_BUCKETS", "32"))
+        cfg = PipelineConfig(
+            pipeline_id="bench",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        # the live log starts EMPTY: the snapshot window must open before
+        # the WAL "arrives", else the watermark filter correctly skips
+        # every tail event (WAL lsn <= snapshot watermark = already
+        # reflected in the snapshot) and nothing is measured
+        live_log = os.path.join(wh, "live_wal")
+        os.makedirs(live_log)
+        src = ParquetWalSource(spark, state_path, live_log, num_buckets=nb)
+        runner = PartialIngestRunner(spark, cfg, src)
+
+        segs = sorted(
+            os.path.join(log_dir, f)
+            for f in os.listdir(log_dir)
+            if f.endswith(".parquet")
+        )
+        t0 = time.time()
+        runner.snapshot_epoch()
+        for seg in segs:  # one tail epoch per arriving segment
+            staged = os.path.join(live_log, os.path.basename(seg))
+            os.symlink(seg, staged)
+            runner.tail_batch(src.wal_batch([staged]))
+        wall = time.time() - t0
+        total_events = n_docs + n_events  # snapshot reads + WAL events
+        return {
+            "replay_sec": round(wall, 3),
+            "replay_events": total_events,
+            "replay_events_per_sec": round(total_events / wall, 1),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    from debezium_partial_snapshotter_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    sf = guess_sf(SF_DIR)
+    spark = get_spark("dps-bench", parallelism=CPUS, shuffle_partitions=CPUS)
+
+    replay = run_replay(spark, sf)
+
+    qtimes: dict[str, float] = {"cdc_replay": replay["replay_sec"]}
+    qs = entry_mod.queries()
+    if os.environ.get("DPS_BENCH_REPLAY_ONLY"):
+        out = {
+            "metric": "cdc_replay",
+            "value": replay["replay_sec"],
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "parallelism": CPUS,
+            **replay,
+        }
+        spark.stop()
+        print(json.dumps(out))
+        return
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "cdc_replay_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "parallelism": CPUS,
+        **replay,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,8 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from debezium_partial_snapshotter_spark.functions import bucket_id, op_rank
-from debezium_partial_snapshotter_spark.operators.dedup import latest_events
+from debezium_partial_snapshotter_spark.functions import bucket_id, op_rank, salt
 from debezium_partial_snapshotter_spark.operators.schema_evolution import (
     conform,
     merge_schemas,
@@ -79,86 +78,111 @@ def apply_batch(
     if commit_key is not None and commit_key in table.committed_keys():
         return {"applied": False, "reason": "duplicate_commit_key"}
 
-    # ---- 1. in-batch winner per key (B4)
-    latest = latest_events(
-        events, strategy=dedup_strategy, salt_buckets=salt_buckets
-    ).persist()
-    try:
-        nb = table.num_buckets
-        agg = latest.agg(
-            F.collect_set(bucket_id(F.col("doc_id"), nb)).alias("bks"),
-            F.max("lsn").alias("maxlsn"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        affected = sorted(agg["bks"] or [])
-        if not affected:
-            return {"applied": False, "reason": "empty_batch"}
-        batch_watermark = int(agg["maxlsn"])
+    nb = table.num_buckets
 
-        # ---- 2. schema evolution (add-column / type-widen)
-        payload_schema: StructType = events.schema["after"].dataType
-        cur_user = user_schema(table.schema())
-        merged = merge_schemas(cur_user, payload_schema)
-        evolved = not schemas_equal(merged, cur_user)
+    # ---- 1. plan: affected buckets + batch watermark. A cheap scan —
+    # column-pruned to (doc_id, lsn), partial-aggregated to <= nb values
+    # per map task. No caching of the payload.
+    agg = events.agg(
+        F.collect_set(bucket_id(F.col("doc_id"), nb)).alias("bks"),
+        F.max("lsn").alias("maxlsn"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    affected = sorted(agg["bks"] or [])
+    if not affected:
+        return {"applied": False, "reason": "empty_batch"}
+    batch_watermark = int(agg["maxlsn"])
 
-        # ---- 3. candidates: batch winners (flattened) ∪ current buckets
-        batch_cand = latest.select(
-            F.col("doc_id").alias("__key"),
-            F.col("lsn").alias("_lsn"),
-            op_rank(F.col("op")).alias("_op_rank"),
-            (F.col("op") == "d").alias("_is_delete"),
-            F.col("after.*"),
-        )
-        # after.doc_id is null for deletes; the envelope key is canonical
-        batch_cand = batch_cand.drop("doc_id").withColumnRenamed("__key", "doc_id")
-        batch_cand = conform(
-            batch_cand, with_candidates_schema(merged)
-        )
+    # ---- 2. schema evolution (add-column / type-widen), driver-side
+    payload_schema: StructType = events.schema["after"].dataType
+    cur_user = user_schema(table.schema())
+    merged = merge_schemas(cur_user, payload_schema)
+    evolved = not schemas_equal(merged, cur_user)
 
-        current = table.read(spark, buckets=affected)
-        cur_cand = conform(
-            current.withColumn("_is_delete", F.lit(False)),
-            with_candidates_schema(merged),
-        )
+    # ---- 3+4. dedup and merge COLLAPSE into one max_by: max over
+    # (current ∪ raw batch) == max(current, max(batch)) — associativity
+    # makes the separate in-batch dedup pass (B4) and the MERGE conflict
+    # resolution one single shuffle. Partial aggregation compacts every
+    # key map-side, so a hot key ships O(map tasks) rows, not its event
+    # count.
+    batch_cand = events.select(
+        F.col("doc_id").alias("__key"),
+        F.col("lsn").alias("_lsn"),
+        op_rank(F.col("op")).alias("_op_rank"),
+        (F.col("op") == "d").alias("_is_delete"),
+        F.col("after.*"),
+    )
+    # after.doc_id is null for deletes; the envelope key is canonical
+    batch_cand = batch_cand.drop("doc_id").withColumnRenamed("__key", "doc_id")
+    batch_cand = conform(batch_cand, with_candidates_schema(merged))
 
-        # ---- 4. merge: one max_by per key over the union
-        all_cand = cur_cand.unionByName(batch_cand)
-        payload = F.struct(*[F.col(c) for c in all_cand.columns])
-        order = F.struct(F.col("_lsn"), F.col("_op_rank"))
-        winners = (
-            all_cand.groupBy("doc_id")
-            .agg(F.max_by(payload, order).alias("_w"))
-            .select("_w.*")
-        )
+    current = table.read(spark, buckets=affected)
+    cur_cand = conform(
+        current.withColumn("_is_delete", F.lit(False)),
+        with_candidates_schema(merged),
+    )
 
-        obs = Observation("apply")
-        new_content = (
-            winners.where(~F.col("_is_delete"))
-            .drop("_is_delete")
-            .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
-            .observe(obs, F.count(F.lit(1)).alias("rows_live"))
+    # The conflict order (lsn, op_rank) is encoded as ONE BIGINT
+    # (lsn*4 + rank, rank < 4): a primitive max per key compiles to
+    # whole-stage-codegen HashAggregate with map-side combine. A
+    # struct-ordered max_by would force SortAggregate — full sorts of
+    # wide token-array rows on both shuffle sides, which measured 3-5x
+    # slower AND anti-scaled with cores (memory-bandwidth bound).
+    all_cand = cur_cand.unionByName(batch_cand).withColumn(
+        "_ord", F.col("_lsn") * 4 + F.col("_op_rank")
+    )
+    if salt_buckets and salt_buckets > 1:
+        # two-phase salted max for pathological hot keys (primitive agg
+        # already combines map-side; this additionally bounds
+        # reduce-side rows per key to salt_buckets)
+        maxes = (
+            all_cand.withColumn("_salt", salt(F.col("_lsn"), salt_buckets))
+            .groupBy("doc_id", "_salt")
+            .agg(F.max("_ord").alias("_mx"))
+            .groupBy("doc_id")
+            .agg(F.max("_mx").alias("_mx"))
         )
+    else:
+        maxes = all_cand.groupBy("doc_id").agg(F.max("_ord").alias("_mx"))
+    # join the winning (key, ord) back to its full row. maxes is narrow
+    # (two longs per key) — AQE upgrades this to a broadcast join when it
+    # fits; otherwise it is a ShuffledHashJoin on doc_id (the session
+    # sets preferSortMergeJoin=false — never sort wide rows).
+    # dropDuplicates guards the duplicate-delivery tie (same key, same
+    # lsn, same rank => identical content, either row is correct).
+    winners = (
+        all_cand.join(maxes, "doc_id")
+        .where(F.col("_ord") == F.col("_mx"))
+        .dropDuplicates(["doc_id"])
+        .drop("_ord", "_mx")
+    )
 
-        # ---- 5. atomic commit (data + schema + commit key + watermark)
-        applied = table.replace_buckets(
-            new_content,
-            affected_buckets=affected,
-            commit_key=commit_key,
-            new_schema=with_system(merged) if evolved else None,
-            watermark_lsn=batch_watermark,
-        )
-        wall = time.time() - t0
-        return {
-            "applied": applied,
-            "affected_buckets": affected,
-            "batch_keys": int(agg["n"]),
-            "watermark_lsn": batch_watermark,
-            "schema_evolved": evolved,
-            "rows_live": obs.get.get("rows_live") if applied else None,
-            "wall_ms": int(wall * 1000),
-        }
-    finally:
-        latest.unpersist()
+    obs = Observation()
+    new_content = (
+        winners.where(~F.col("_is_delete"))
+        .drop("_is_delete")
+        .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
+        .observe(obs, F.count(F.lit(1)).alias("rows_live"))
+    )
+
+    # ---- 5. atomic commit (data + schema + commit key + watermark)
+    applied = table.replace_buckets(
+        new_content,
+        affected_buckets=affected,
+        commit_key=commit_key,
+        new_schema=with_system(merged) if evolved else None,
+        watermark_lsn=batch_watermark,
+    )
+    wall = time.time() - t0
+    return {
+        "applied": applied,
+        "affected_buckets": affected,
+        "batch_keys": int(agg["n"]),
+        "watermark_lsn": batch_watermark,
+        "schema_evolved": evolved,
+        "rows_live": obs.get.get("rows_live") if applied else None,
+        "wall_ms": int(wall * 1000),
+    }
 
 
 def with_candidates_schema(user: StructType) -> StructType:

@@ -49,7 +49,14 @@ def get_spark(
         # must broadcast, never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("DPS_DRIVER_MEM", "8g"))
+        # Never sort-merge-join wide token-array rows; hash joins keep
+        # the hot path sort-free (the merge plan relies on this).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    # shuffle/spill on tmpfs when available (single-node harness);
+    # cluster managers override via SPARK_LOCAL_DIRS
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/dps-spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

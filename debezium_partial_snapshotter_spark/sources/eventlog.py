@@ -203,30 +203,58 @@ def generate_change_log(
     flat = _token_values(rng, int(lens.sum()))
     offs = np.concatenate([[0], np.cumsum(lens)])
 
+    # ---- fully vectorized arrow construction (no per-row python) ----
+    uniq = np.unique(doc_idx)
+    id_map = {int(u): _doc_id(int(u)) for u in uniq}
+    bucket_map = {
+        u: f"{spec.table}/{bucket_id_py(d, spec.num_buckets):04d}"
+        for u, d in id_map.items()
+    }
+    dids = np.array([id_map[int(u)] for u in doc_idx], dtype=object)
+    tparts = np.array([bucket_map[int(u)] for u in doc_idx], dtype=object)
+    ops = np.where(is_delete, "d", np.where(mask, "c", "u"))
+
+    doc_id_arr = pa.array(dids, pa.string())
+    tokens_arr = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
+    )
+    n_tok_t = pa.int64() if spec.schema_v2 else pa.int32()
+    n_tok_arr = pa.array(lens, n_tok_t)
+    src_idx = (doc_idx % len(SOURCES)).astype(np.int64)
+    source_arr = pa.array(np.array(SOURCES, dtype=object)[src_idx], pa.string())
+    children = [doc_id_arr, tokens_arr, n_tok_arr, source_arr]
+    names = ["doc_id", "tokens", "n_tok", "source"]
+    if spec.schema_v2:
+        langs = np.array(["en", "de", "fr", "zh", "es"], dtype=object)
+        children.append(pa.array(langs[lens % 5], pa.string()))
+        names.append("lang")
+    after_arr = pa.StructArray.from_arrays(
+        children, names, mask=pa.array(is_delete)
+    )
+    full = pa.table(
+        {
+            "op": pa.array(ops, pa.string()),
+            "doc_id": doc_id_arr,
+            "lsn": pa.array(lsns, pa.int64()),
+            "snapshot": pa.array(np.repeat("false", n_ev), pa.string()),
+            "table_partition": pa.array(tparts, pa.string()),
+            "after": after_arr,
+        }
+    )
+
     tables = []
-    seg_bounds = np.array_split(np.arange(n_ev), spec.n_segments)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    for si, seg in enumerate(seg_bounds):
-        ops, dids, ls, snaps, afters = [], [], [], [], []
-        for j in seg:
-            d = _doc_id(int(doc_idx[j]))
-            if is_delete[j]:
-                ops.append("d")
-                afters.append(None)
-            else:
-                ops.append("c" if mask[j] else "u")
-                toks = flat[offs[j] : offs[j + 1]]
-                afters.append(
-                    _make_after(d, toks, SOURCES[int(doc_idx[j]) % len(SOURCES)], spec)
-                )
-            dids.append(d)
-            ls.append(int(lsns[j]))
-            snaps.append("false")
-        t = _rows_to_arrow(ops, dids, ls, snaps, afters, spec)
+    bounds = np.linspace(0, n_ev, spec.n_segments + 1).astype(np.int64)
+    for si in range(spec.n_segments):
+        t = full.slice(bounds[si], bounds[si + 1] - bounds[si])
         tables.append(t)
         if out_dir:
-            pq.write_table(t, os.path.join(out_dir, f"seg-{si:05d}.parquet"))
+            pq.write_table(
+                t,
+                os.path.join(out_dir, f"seg-{si:05d}.parquet"),
+                row_group_size=32_768,  # splittable scans: one task per row group
+            )
     return tables
 
 

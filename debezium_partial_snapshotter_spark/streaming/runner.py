@@ -157,7 +157,15 @@ class PartialIngestRunner:
         epoch = self._epoch
         try:
             discovered = self.discovered_partitions()
-            watermark = max(self.source.current_lsn(), self.table.watermark_lsn())
+            # the snapshot consistency point: at least the source's WAL
+            # head, and STRICTLY above everything already applied — a
+            # re-snapshot re-reads the source and must beat rows stored
+            # by a previous snapshot at the same LSN (reference:
+            # testResnapshotPartial), while still losing (op-rank) to
+            # WAL events at lsn >= watermark that arrive later.
+            watermark = max(
+                self.source.current_lsn(), self.table.watermark_lsn() + 1
+            )
             claimed = self.tracker.claim(
                 discovered,
                 self.cfg.pipeline_id,
@@ -174,7 +182,7 @@ class PartialIngestRunner:
             if self.cfg.on_tracker_error == "snapshot":
                 claimed = self.discovered_partitions()
                 watermark = max(
-                    self.source.current_lsn(), self.table.watermark_lsn()
+                    self.source.current_lsn(), self.table.watermark_lsn() + 1
                 )
             else:  # skip
                 return {"applied": False, "reason": "tracker_error_skip"}

@@ -110,21 +110,14 @@ def run_replay(spark, sf: float) -> dict:
         log_dir = os.path.join(src_dir, "wal")
         if not os.path.exists(state_path):
             os.makedirs(src_dir, exist_ok=True)
-            state = generate_initial_state(spec)
+            from debezium_partial_snapshotter_spark.sources.eventlog import (
+                initial_state_table,
+            )
+
             pq.write_table(
-                pa.table(
-                    {
-                        "doc_id": [r["doc_id"] for r in state],
-                        "tokens": pa.array(
-                            [r["tokens"] for r in state], pa.list_(pa.int32())
-                        ),
-                        "n_tok": pa.array(
-                            [r["n_tok"] for r in state], pa.int32()
-                        ),
-                        "source": [r["source"] for r in state],
-                    }
-                ),
+                initial_state_table(spec),
                 state_path + ".tmp",
+                row_group_size=65_536,
             )
             generate_change_log(spec, out_dir=log_dir)
             os.rename(state_path + ".tmp", state_path)

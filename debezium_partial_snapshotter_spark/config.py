@@ -57,6 +57,14 @@ class PipelineConfig:
     # tracker, README.md:68)
     tracker_path_override: str = ""
 
+    # B7 — include/exclude regex over partition names, the analog of
+    # Debezium's table.include.list / table.exclude.list (the reference
+    # excludes its own tracker from the data plane: README.md:51,
+    # TestPostgresConnectorConfig.java:46). Applied at discovery time,
+    # BEFORE any scan is planned.
+    partition_include: str = ""  # regex; empty = include all
+    partition_exclude: str = ""  # regex; empty = exclude none
+
     def __post_init__(self) -> None:
         if not self.checkpoint_dir:
             self.checkpoint_dir = f"{self.warehouse}/_checkpoints/{self.pipeline_id}"

@@ -80,18 +80,20 @@ def apply_batch(
 
     nb = table.num_buckets
 
-    # ---- 1. plan: affected buckets + batch watermark. A cheap scan —
-    # column-pruned to (doc_id, lsn), partial-aggregated to <= nb values
-    # per map task. No caching of the payload.
-    agg = events.agg(
-        F.collect_set(bucket_id(F.col("doc_id"), nb)).alias("bks"),
-        F.max("lsn").alias("maxlsn"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    affected = sorted(agg["bks"] or [])
-    if not affected:
+    # ---- 1. plan: per-bucket row counts + LSN ranges. A cheap scan —
+    # column-pruned to (doc_id, lsn), partial-aggregated to <= nb rows
+    # per map task. Feeds bucket pruning AND per-partition lineage.
+    per_bucket = (
+        events.groupBy(bucket_id(F.col("doc_id"), nb).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx"))
+        .collect()
+    )
+    if not per_bucket:
         return {"applied": False, "reason": "empty_batch"}
-    batch_watermark = int(agg["maxlsn"])
+    affected = sorted(int(r["_b"]) for r in per_bucket)
+    batch_watermark = max(int(r["mx"]) for r in per_bucket)
+    bucket_rows = {int(r["_b"]): int(r["n"]) for r in per_bucket}
+    n_events = sum(bucket_rows.values())
 
     # ---- 2. schema evolution (add-column / type-widen), driver-side
     payload_schema: StructType = events.schema["after"].dataType
@@ -146,12 +148,14 @@ def apply_batch(
         maxes = all_cand.groupBy("doc_id").agg(F.max("_ord").alias("_mx"))
     # join the winning (key, ord) back to its full row. maxes is narrow
     # (two longs per key) — AQE upgrades this to a broadcast join when it
-    # fits; otherwise it is a ShuffledHashJoin on doc_id (the session
-    # sets preferSortMergeJoin=false — never sort wide rows).
+    # fits; the SHUFFLE_HASH hint pins the fallback to ShuffledHashJoin
+    # (without it the static planner picks SortMergeJoin, which sorts the
+    # wide token-array side — the exact plan this formulation avoids).
     # dropDuplicates guards the duplicate-delivery tie (same key, same
-    # lsn, same rank => identical content, either row is correct).
+    # lsn, same rank => identical content, either row is correct); it
+    # runs AFTER the max filter, on ~1 row per key.
     winners = (
-        all_cand.join(maxes, "doc_id")
+        all_cand.join(maxes.hint("SHUFFLE_HASH"), "doc_id")
         .where(F.col("_ord") == F.col("_mx"))
         .dropDuplicates(["doc_id"])
         .drop("_ord", "_mx")
@@ -177,7 +181,8 @@ def apply_batch(
     return {
         "applied": applied,
         "affected_buckets": affected,
-        "batch_keys": int(agg["n"]),
+        "bucket_rows": bucket_rows,
+        "batch_keys": n_events,
         "watermark_lsn": batch_watermark,
         "schema_evolved": evolved,
         "rows_live": obs.get.get("rows_live") if applied else None,

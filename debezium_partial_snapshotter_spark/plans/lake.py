@@ -300,3 +300,23 @@ class LakeTable:
     # ------------------------------------------------------------ utility
     def to_pandas(self, spark: SparkSession):
         return self.read(spark).toPandas()
+
+    def compact(
+        self, spark: SparkSession, min_files: int = 2, commit_key: str | None = None
+    ) -> dict:
+        """Small-file maintenance: rewrite every bucket holding >=
+        min_files data files into one file each (Iceberg rewrite_data_files
+        analog). A no-op when the layout is already tight."""
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        man = self.manifest()
+        targets = sorted(
+            int(b) for b, files in man["buckets"].items() if len(files) >= min_files
+        )
+        if not targets:
+            return {"compacted_buckets": [], "applied": False}
+        df = self.read(spark, buckets=targets).withColumn(
+            "_bucket", bucket_id(F.col(self.bucket_key), self.num_buckets)
+        )
+        applied = self.replace_buckets(df, targets, commit_key=commit_key)
+        return {"compacted_buckets": targets, "applied": applied}

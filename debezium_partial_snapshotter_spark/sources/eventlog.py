@@ -119,19 +119,34 @@ def _make_after(
     return row
 
 
-def generate_initial_state(spec: EventLogSpec) -> list[dict]:
-    """The source table's content at snapshot time: one row per doc."""
+def initial_state_table(spec: EventLogSpec) -> pa.Table:
+    """The source table's content at snapshot time, as a vectorized
+    arrow table (payload schema)."""
     rng = np.random.default_rng(spec.seed)
     lens = _token_lengths(rng, spec.n_docs, spec)
     flat = _token_values(rng, int(lens.sum()))
     offs = np.concatenate([[0], np.cumsum(lens)])
-    out = []
-    for i in range(spec.n_docs):
-        toks = flat[offs[i] : offs[i + 1]]
-        out.append(
-            _make_after(_doc_id(i), toks, SOURCES[i % len(SOURCES)], spec)
-        )
-    return out
+    ids = np.array([_doc_id(i) for i in range(spec.n_docs)], dtype=object)
+    src = np.array(SOURCES, dtype=object)[
+        np.arange(spec.n_docs, dtype=np.int64) % len(SOURCES)
+    ]
+    cols = {
+        "doc_id": pa.array(ids, pa.string()),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
+        ),
+        "n_tok": pa.array(lens, pa.int64() if spec.schema_v2 else pa.int32()),
+        "source": pa.array(src, pa.string()),
+    }
+    if spec.schema_v2:
+        langs = np.array(["en", "de", "fr", "zh", "es"], dtype=object)
+        cols["lang"] = pa.array(langs[lens % 5], pa.string())
+    return pa.table(cols)
+
+
+def generate_initial_state(spec: EventLogSpec) -> list[dict]:
+    """Row-dict view of the initial state (oracle/test-sized inputs)."""
+    return initial_state_table(spec).to_pylist()
 
 
 def snapshot_read_events(
@@ -214,40 +229,61 @@ def generate_change_log(
     tparts = np.array([bucket_map[int(u)] for u in doc_idx], dtype=object)
     ops = np.where(is_delete, "d", np.where(mask, "c", "u"))
 
-    doc_id_arr = pa.array(dids, pa.string())
-    tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
-    )
     n_tok_t = pa.int64() if spec.schema_v2 else pa.int32()
-    n_tok_arr = pa.array(lens, n_tok_t)
-    src_idx = (doc_idx % len(SOURCES)).astype(np.int64)
-    source_arr = pa.array(np.array(SOURCES, dtype=object)[src_idx], pa.string())
-    children = [doc_id_arr, tokens_arr, n_tok_arr, source_arr]
-    names = ["doc_id", "tokens", "n_tok", "source"]
-    if spec.schema_v2:
-        langs = np.array(["en", "de", "fr", "zh", "es"], dtype=object)
-        children.append(pa.array(langs[lens % 5], pa.string()))
-        names.append("lang")
-    after_arr = pa.StructArray.from_arrays(
-        children, names, mask=pa.array(is_delete)
-    )
-    full = pa.table(
-        {
-            "op": pa.array(ops, pa.string()),
-            "doc_id": doc_id_arr,
-            "lsn": pa.array(lsns, pa.int64()),
-            "snapshot": pa.array(np.repeat("false", n_ev), pa.string()),
-            "table_partition": pa.array(tparts, pa.string()),
-            "after": after_arr,
-        }
-    )
+    src_names = np.array(SOURCES, dtype=object)
+    langs = np.array(["en", "de", "fr", "zh", "es"], dtype=object)
+
+    def build(lo: int, hi: int) -> pa.Table:
+        # per-slice construction keeps list offsets within int32 range
+        # (a 10^10-scale log would overflow one giant ListArray)
+        sl = slice(lo, hi)
+        o = offs[lo : hi + 1] - offs[lo]
+        doc_id_arr = pa.array(dids[sl], pa.string())
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(o, pa.int32()),
+            pa.array(flat[offs[lo] : offs[hi]], pa.int32()),
+        )
+        children = [
+            doc_id_arr,
+            tokens_arr,
+            pa.array(lens[sl], n_tok_t),
+            pa.array(src_names[(doc_idx[sl] % len(SOURCES)).astype(np.int64)], pa.string()),
+        ]
+        names = ["doc_id", "tokens", "n_tok", "source"]
+        if spec.schema_v2:
+            children.append(pa.array(langs[lens[sl] % 5], pa.string()))
+            names.append("lang")
+        after_arr = pa.StructArray.from_arrays(
+            children, names, mask=pa.array(is_delete[sl])
+        )
+        return pa.table(
+            {
+                "op": pa.array(ops[sl], pa.string()),
+                "doc_id": doc_id_arr,
+                "lsn": pa.array(lsns[sl], pa.int64()),
+                "snapshot": pa.array(np.repeat("false", hi - lo), pa.string()),
+                "table_partition": pa.array(tparts[sl], pa.string()),
+                "after": after_arr,
+            }
+        )
 
     tables = []
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     bounds = np.linspace(0, n_ev, spec.n_segments + 1).astype(np.int64)
+    # cap tokens per constructed chunk well under 2^31
+    MAX_CHUNK_TOKENS = 1_500_000_000
     for si in range(spec.n_segments):
-        t = full.slice(bounds[si], bounds[si + 1] - bounds[si])
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        chunks = []
+        c_lo = lo
+        while c_lo < hi:
+            c_hi = hi
+            while offs[c_hi] - offs[c_lo] > MAX_CHUNK_TOKENS:
+                c_hi = c_lo + max(1, (c_hi - c_lo) // 2)
+            chunks.append(build(c_lo, c_hi))
+            c_lo = c_hi
+        t = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
         tables.append(t)
         if out_dir:
             pq.write_table(

@@ -82,11 +82,20 @@ class PartialIngestRunner:
 
     def discovered_partitions(self) -> list[str]:
         """The set of (table, bucket) work units — the analog of
-        Debezium's monitored-tables discovery (B7 include/exclude
-        filtering happens here: the tracker itself is never in the
-        data plane)."""
+        Debezium's monitored-tables discovery, with B7 include/exclude
+        regex filtering applied here, BEFORE any scan is planned (the
+        tracker itself is never in the data plane)."""
+        import re
+
         t = self.cfg.target_table
-        return [f"{t}/{b:04d}" for b in range(self.cfg.num_buckets)]
+        parts = [f"{t}/{b:04d}" for b in range(self.cfg.num_buckets)]
+        if self.cfg.partition_include:
+            inc = re.compile(self.cfg.partition_include)
+            parts = [p for p in parts if inc.search(p)]
+        if self.cfg.partition_exclude:
+            exc = re.compile(self.cfg.partition_exclude)
+            parts = [p for p in parts if not exc.search(p)]
+        return parts
 
     @staticmethod
     def buckets_of(partitions: list[str]) -> list[int]:
@@ -95,20 +104,35 @@ class PartialIngestRunner:
     def _record(self, phase: str, epoch: int, stats: dict, rows_read: int | None = None):
         wall = max(stats.get("wall_ms") or 1, 1)
         applied = stats.get("rows_live")
-        self.metrics.append(
-            [
-                {
-                    "epoch": epoch,
-                    "partition": "*",
-                    "phase": phase,
-                    "rows_read": rows_read,
-                    "rows_applied": int(applied) if applied is not None else None,
-                    "events_per_sec": (rows_read or 0) / (wall / 1000.0),
-                    "wall_ms": wall,
-                    "watermark_lsn": stats.get("watermark_lsn"),
-                }
-            ]
+        rows_read = rows_read if rows_read is not None else stats.get("batch_keys")
+        t = self.cfg.target_table
+        # per-partition lineage (north rule) + one epoch-total row
+        rows = [
+            {
+                "epoch": epoch,
+                "partition": f"{t}/{b:04d}",
+                "phase": phase,
+                "rows_read": n,
+                "rows_applied": None,
+                "events_per_sec": None,
+                "wall_ms": wall,
+                "watermark_lsn": stats.get("watermark_lsn"),
+            }
+            for b, n in (stats.get("bucket_rows") or {}).items()
+        ]
+        rows.append(
+            {
+                "epoch": epoch,
+                "partition": "*",
+                "phase": phase,
+                "rows_read": rows_read,
+                "rows_applied": int(applied) if applied is not None else None,
+                "events_per_sec": (rows_read or 0) / (wall / 1000.0),
+                "wall_ms": wall,
+                "watermark_lsn": stats.get("watermark_lsn"),
+            }
         )
+        self.metrics.append(rows)
         if stats.get("applied"):
             self.commit_log.append(
                 [

@@ -40,8 +40,13 @@ def run_once(cpus: int, n_events: int) -> dict:
         text=True,
         timeout=1800,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        raise RuntimeError(
+            f"bench.py produced no output (rc={out.returncode}):\n"
+            + out.stderr[-3000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main():

@@ -48,6 +48,14 @@ class PipelineConfig:
     # all pre-images).
     dedup_strategy: str = "max_by"
 
+    # write mode: 'cow' rewrites affected buckets per epoch (cheap
+    # reads); 'mor' appends delta files with tombstones and resolves at
+    # read time (low write amplification for sparse-touch epochs).
+    write_mode: str = "cow"
+    # in 'mor', fold deltas into the base once this many delta files
+    # accumulate across the table
+    mor_compact_threshold: int = 24
+
     # streaming
     checkpoint_dir: str = field(default="")
     max_files_per_trigger: int = 8

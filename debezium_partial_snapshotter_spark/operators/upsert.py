@@ -70,9 +70,20 @@ def apply_batch(
     commit_key: str | None = None,
     dedup_strategy: str = "max_by",
     salt_buckets: int = 0,
+    write_mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch / epoch of change events. Idempotent under
-    re-delivery of the same commit_key (returns ``applied=False``)."""
+    re-delivery of the same commit_key (returns ``applied=False``).
+
+    write_mode:
+      - 'cow' (default): resolve against current bucket content and
+        rewrite affected buckets — reads stay cheap.
+      - 'mor': write ONLY the batch winners (incl. delete tombstones)
+        as delta files; readers resolve, ``LakeTable.compact`` folds.
+        Cuts write amplification for epochs touching a small fraction
+        of each bucket — at a 100 TB table this is the difference
+        between rewriting ~1 TB and writing ~1 GB per epoch.
+    """
     t0 = time.time()
     spark = events.sparkSession
     if commit_key is not None and commit_key in table.committed_keys():
@@ -118,11 +129,16 @@ def apply_batch(
     batch_cand = batch_cand.drop("doc_id").withColumnRenamed("__key", "doc_id")
     batch_cand = conform(batch_cand, with_candidates_schema(merged))
 
-    current = table.read(spark, buckets=affected)
-    cur_cand = conform(
-        current.withColumn("_is_delete", F.lit(False)),
-        with_candidates_schema(merged),
-    )
+    if write_mode == "mor":
+        # MoR: resolve within the batch only; global resolution happens
+        # at read time (the reader's max covers any epoch ordering)
+        cur_cand = None
+    else:
+        current = table.read(spark, buckets=affected)
+        cur_cand = conform(
+            current.withColumn("_is_delete", F.lit(False)),
+            with_candidates_schema(merged),
+        )
 
     # The conflict order (lsn, op_rank) is encoded as ONE BIGINT
     # (lsn*4 + rank, rank < 4): a primitive max per key compiles to
@@ -130,9 +146,9 @@ def apply_batch(
     # struct-ordered max_by would force SortAggregate — full sorts of
     # wide token-array rows on both shuffle sides, which measured 3-5x
     # slower AND anti-scaled with cores (memory-bandwidth bound).
-    all_cand = cur_cand.unionByName(batch_cand).withColumn(
-        "_ord", F.col("_lsn") * 4 + F.col("_op_rank")
-    )
+    all_cand = (
+        batch_cand if cur_cand is None else cur_cand.unionByName(batch_cand)
+    ).withColumn("_ord", F.col("_lsn") * 4 + F.col("_op_rank"))
     if salt_buckets and salt_buckets > 1:
         # two-phase salted max for pathological hot keys (primitive agg
         # already combines map-side; this additionally bounds
@@ -162,21 +178,33 @@ def apply_batch(
     )
 
     obs = Observation()
-    new_content = (
-        winners.where(~F.col("_is_delete"))
-        .drop("_is_delete")
-        .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
-        .observe(obs, F.count(F.lit(1)).alias("rows_live"))
-    )
-
     # ---- 5. atomic commit (data + schema + commit key + watermark)
-    applied = table.replace_buckets(
-        new_content,
-        affected_buckets=affected,
-        commit_key=commit_key,
-        new_schema=with_system(merged) if evolved else None,
-        watermark_lsn=batch_watermark,
-    )
+    if write_mode == "mor":
+        # keep tombstones: a delta delete must shadow older base rows
+        new_content = winners.withColumn(
+            "_bucket", bucket_id(F.col("doc_id"), nb)
+        ).observe(obs, F.count(F.lit(1)).alias("rows_live"))
+        applied = table.append_deltas(
+            new_content,
+            affected_buckets=affected,
+            commit_key=commit_key,
+            new_schema=with_system(merged) if evolved else None,
+            watermark_lsn=batch_watermark,
+        )
+    else:
+        new_content = (
+            winners.where(~F.col("_is_delete"))
+            .drop("_is_delete")
+            .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
+            .observe(obs, F.count(F.lit(1)).alias("rows_live"))
+        )
+        applied = table.replace_buckets(
+            new_content,
+            affected_buckets=affected,
+            commit_key=commit_key,
+            new_schema=with_system(merged) if evolved else None,
+            watermark_lsn=batch_watermark,
+        )
     wall = time.time() - t0
     return {
         "applied": applied,

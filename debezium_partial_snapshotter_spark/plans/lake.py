@@ -38,7 +38,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -64,6 +64,24 @@ def _atomic_create(tmp_path: str, final_path: str) -> bool:
             os.unlink(tmp_path)
         except OSError:
             pass
+
+
+def _resolve_mor(base: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Winner per key by (_lsn, _op_rank) over (base ∪ deltas), keeping
+    delete tombstones until the caller drops them. Same sort-free plan
+    as the apply merge: primitive max + SHUFFLE_HASH join-back."""
+    allc = base.unionByName(deltas).withColumn(
+        "_mord", F.col("_lsn") * 4 + F.col("_op_rank")
+    )
+    key = "doc_id" if "doc_id" in allc.columns else allc.columns[0]
+    maxes = allc.groupBy(key).agg(F.max("_mord").alias("_mmx"))
+    resolved = (
+        allc.join(maxes.hint("SHUFFLE_HASH"), key)
+        .where(F.col("_mord") == F.col("_mmx"))
+        .dropDuplicates([key])
+        .drop("_mord", "_mmx")
+    )
+    return resolved.where(~F.col("_is_delete"))
 
 
 class LakeTable:
@@ -99,7 +117,8 @@ class LakeTable:
             "schema": json.loads(schema.json()),
             "num_buckets": num_buckets,
             "bucket_key": bucket_key,
-            "buckets": {},  # str(bucket) -> [relative file paths]
+            "buckets": {},  # str(bucket) -> [relative file paths] (base)
+            "deltas": {},  # str(bucket) -> [relative file paths] (MoR)
             "commit_keys": [],
             "watermark_lsn": -1,
             "parent": None,
@@ -164,13 +183,28 @@ class LakeTable:
         return self.manifest().get("watermark_lsn", -1)
 
     # --------------------------------------------------------------- read
-    def _files(self, manifest: dict, buckets: Iterable[int] | None = None) -> list[str]:
+    def _files(
+        self,
+        manifest: dict,
+        buckets: Iterable[int] | None = None,
+        kind: str = "buckets",
+    ) -> list[str]:
         wanted = None if buckets is None else {str(b) for b in buckets}
         out: list[str] = []
-        for b, files in manifest["buckets"].items():
+        for b, files in manifest.get(kind, {}).items():
             if wanted is None or b in wanted:
                 out.extend(os.path.join(self.path, f) for f in files)
         return out
+
+    def _read_files(self, spark, files: list[str], schema: StructType) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        # Explicit read schema serves files written before an add-column
+        # or type-widen evolution: missing columns come back NULL and the
+        # Spark 4 vectorized parquet reader up-casts int32->int64 /
+        # float->double in place. (mergeSchema would REFUSE the widening
+        # as a schema conflict.)
+        return spark.read.schema(schema).parquet(*files)
 
     def read(
         self,
@@ -178,30 +212,117 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         version: int | None = None,
     ) -> DataFrame:
-        """Scan; bucket pruning = pass only the buckets a MERGE touches.
+        """Resolved scan; bucket pruning = pass only the buckets a MERGE
+        touches.
 
-        Old-schema files are up-cast to the current manifest schema
-        (missing columns -> NULL, int32 -> int64 widening), which is how
-        Iceberg serves post-evolution reads without rewriting data.
+        Copy-on-write buckets are served directly. Buckets carrying
+        merge-on-read deltas are resolved on the fly: winner per key by
+        (_lsn, _op_rank) over (base ∪ deltas), delete tombstones dropped
+        — Iceberg v2 MoR semantics. Old-schema files are up-cast to the
+        current manifest schema (add-column -> NULL, int -> long).
         """
         man = self.manifest(version)
         schema = StructType.fromJson(man["schema"])
-        files = self._files(man, buckets)
-        if not files:
-            return spark.createDataFrame([], schema)
-        # mergeSchema handles files written before an add-column /
-        # type-widen evolution; the explicit select casts to the manifest
-        # schema so every reader sees one shape.
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
-        cols = []
-        for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+        base = self._read_files(spark, self._files(man, buckets, "buckets"), schema)
+        delta_files = self._files(man, buckets, "deltas")
+        if not delta_files:
+            return base
+        delta_schema = StructType(
+            list(schema.fields) + [StructField("_is_delete", BooleanType(), False)]
+        )
+        deltas = self._read_files(spark, delta_files, delta_schema)
+        return _resolve_mor(
+            base.withColumn("_is_delete", F.lit(False)), deltas
+        ).drop("_is_delete")
 
     # ------------------------------------------------------------- commit
+    def _write_partitioned(
+        self, df: DataFrame, affected_buckets: list[int]
+    ) -> tuple[str, dict[str, list[str]]]:
+        """Write df (carrying int ``_bucket``) under a fresh commit dir,
+        one shuffle keyed on _bucket so each bucket's rows co-locate;
+        returns (commit_dir, bucket -> relative file list)."""
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"c-{commit_id}")
+        n_out = max(1, len(affected_buckets))
+        (
+            df.repartition(n_out, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+        new_files: dict[str, list[str]] = {str(b): [] for b in affected_buckets}
+        for entry in os.listdir(commit_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(commit_dir, entry)
+            rel = os.path.relpath(bdir, self.path)
+            files = [
+                os.path.join(rel, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+            new_files.setdefault(b, []).extend(sorted(files))
+        return commit_dir, new_files
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        affected_buckets: list[int],
+        commit_key: str | None = None,
+        new_schema: StructType | None = None,
+        watermark_lsn: int | None = None,
+        max_retries: int = 5,
+    ) -> bool:
+        """Merge-on-read commit: append ``df`` (batch winners INCLUDING
+        delete tombstones, carrying ``_bucket`` and ``_is_delete``) as
+        delta files — no base rewrite. Readers resolve winners on the
+        fly; ``compact()`` folds deltas back into the base. This is the
+        low-write-amplification path for epochs touching a small
+        fraction of each bucket (Iceberg v2 MoR analog)."""
+        if commit_key is not None and commit_key in self.committed_keys():
+            return False
+        commit_dir, new_files = self._write_partitioned(df, affected_buckets)
+        for attempt in range(max_retries):
+            man = self.manifest()
+            if commit_key is not None and commit_key in set(man["commit_keys"]):
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                return False
+            new_man = {
+                **man,
+                "version": man["version"] + 1,
+                "parent": man["version"],
+                "deltas": {**man.get("deltas", {})},
+                "commit_keys": man["commit_keys"]
+                + ([commit_key] if commit_key else []),
+                "ts": time.time(),
+            }
+            for b, files in new_files.items():
+                if files:
+                    new_man["deltas"][b] = new_man["deltas"].get(b, []) + files
+            if new_schema is not None:
+                new_man["schema"] = json.loads(new_schema.json())
+            if watermark_lsn is not None:
+                new_man["watermark_lsn"] = max(
+                    watermark_lsn, man.get("watermark_lsn", -1)
+                )
+            try:
+                self._write_manifest(new_man)
+                return True
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return True
+
+    def delta_stats(self) -> dict:
+        man = self.manifest()
+        return {
+            "buckets_with_deltas": sorted(int(b) for b in man.get("deltas", {})),
+            "delta_files": sum(len(v) for v in man.get("deltas", {}).values()),
+        }
+
     def replace_buckets(
         self,
         df: DataFrame,
@@ -222,33 +343,7 @@ class LakeTable:
         if commit_key is not None and commit_key in self.committed_keys():
             return False
 
-        commit_id = uuid.uuid4().hex[:12]
-        commit_dir = os.path.join(self.data_dir, f"c-{commit_id}")
-        # One shuffle keyed on _bucket so each bucket's rows co-locate;
-        # partitionBy then emits one file per (task, bucket). AQE coalesces
-        # small partitions.
-        n_out = max(1, len(affected_buckets))
-        (
-            df.repartition(n_out, "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(commit_dir)
-        )
-
-        # harvest written files per bucket
-        new_files: dict[str, list[str]] = {str(b): [] for b in affected_buckets}
-        for entry in os.listdir(commit_dir):
-            if not entry.startswith("_bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            bdir = os.path.join(commit_dir, entry)
-            rel = os.path.relpath(bdir, self.path)
-            files = [
-                os.path.join(rel, f)
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet")
-            ]
-            new_files.setdefault(b, []).extend(sorted(files))
+        commit_dir, new_files = self._write_partitioned(df, affected_buckets)
 
         for attempt in range(max_retries):
             man = self.manifest()
@@ -260,6 +355,7 @@ class LakeTable:
                 "version": man["version"] + 1,
                 "parent": man["version"],
                 "buckets": {**man["buckets"]},
+                "deltas": {**man.get("deltas", {})},
                 "commit_keys": man["commit_keys"]
                 + ([commit_key] if commit_key else []),
                 "ts": time.time(),
@@ -269,6 +365,8 @@ class LakeTable:
                     new_man["buckets"][b] = files
                 else:
                     new_man["buckets"].pop(b, None)  # bucket emptied
+                # a base replacement is fully resolved: deltas folded in
+                new_man["deltas"].pop(b, None)
             if new_schema is not None:
                 new_man["schema"] = json.loads(new_schema.json())
             if watermark_lsn is not None:
@@ -311,7 +409,12 @@ class LakeTable:
 
         man = self.manifest()
         targets = sorted(
-            int(b) for b, files in man["buckets"].items() if len(files) >= min_files
+            {
+                int(b)
+                for b, files in man["buckets"].items()
+                if len(files) >= min_files
+            }
+            | {int(b) for b in man.get("deltas", {})}  # fold MoR deltas
         )
         if not targets:
             return {"compacted_buckets": [], "applied": False}

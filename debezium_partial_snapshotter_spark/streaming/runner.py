@@ -156,8 +156,16 @@ class PartialIngestRunner:
             commit_key=commit_key,
             dedup_strategy=self.cfg.dedup_strategy,
             salt_buckets=self.cfg.salt_buckets,
+            write_mode=self.cfg.write_mode,
         )
         stats["commit_key"] = commit_key
+        if (
+            stats.get("applied")
+            and self.cfg.write_mode == "mor"
+            and self.table.delta_stats()["delta_files"]
+            >= self.cfg.mor_compact_threshold
+        ):
+            stats["compaction"] = self.table.compact(self.spark)
         return stats
 
     # ------------------------------------------------------------- phases

@@ -30,7 +30,7 @@ def run_once(cpus: int, n_events: int) -> dict:
         "DPS_BENCH_BUCKETS": "32",
         "DPS_BENCH_SEGMENTS": os.environ.get("DPS_BENCH_SEGMENTS", "2"),
         "DPS_BENCH_REPLAY_ONLY": "1",
-        "DPS_BENCH_CACHE_DIR": "/tmp/dps_bench_cache",
+        "DPS_BENCH_CACHE_DIR": os.environ.get("DPS_BENCH_CACHE_DIR", "/tmp/dps_bench_cache"),
         "PYTHONPATH": REPO,
     }
     out = subprocess.run(

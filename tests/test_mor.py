@@ -1,0 +1,132 @@
+"""Merge-on-read mode: delta-file apply + read-time resolution +
+compaction must all reproduce the oracle exactly, including deletes
+shadowing base rows and schema evolution landing in a delta commit."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from debezium_partial_snapshotter_spark.config import PipelineConfig
+from debezium_partial_snapshotter_spark.operators.upsert import (
+    apply_batch,
+    empty_table_for,
+)
+from debezium_partial_snapshotter_spark.schemas import TOKENS_SCHEMA
+from debezium_partial_snapshotter_spark.sources.eventlog import (
+    EventLogSpec,
+    generate_change_log,
+    generate_initial_state,
+    oracle_apply,
+    snapshot_read_events,
+)
+from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+from debezium_partial_snapshotter_spark.streaming.runner import PartialIngestRunner
+from tests.test_replay import assert_state_matches, load_events
+from tests.test_tracker import write_state
+
+NB = 4
+
+
+def test_mor_replay_matches_oracle_and_compacts(spark, tmp_warehouse):
+    spec = EventLogSpec(
+        n_docs=150, n_events=1200, n_segments=3, seed=17, num_buckets=NB,
+        delete_frac=0.15,
+    )
+    state = generate_initial_state(spec)
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    wal = generate_change_log(spec)
+
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, "tokens"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    d0 = os.path.join(tmp_warehouse, "e0")
+    os.makedirs(d0)
+    pq.write_table(snap, os.path.join(d0, "s.parquet"))
+    apply_batch(table, load_events(spark, d0), commit_key="p:0", write_mode="mor")
+    for i, seg in enumerate(wal, start=1):
+        d = os.path.join(tmp_warehouse, f"e{i}")
+        os.makedirs(d)
+        pq.write_table(seg, os.path.join(d, "w.parquet"))
+        apply_batch(
+            table, load_events(spark, d), commit_key=f"p:{i}", write_mode="mor"
+        )
+
+    assert table.delta_stats()["delta_files"] > 0
+    expected = oracle_apply([snap] + wal)
+    # read-time resolution (deltas still present)
+    assert_state_matches(spark, table, expected)
+
+    # compaction folds deltas; content identical after
+    out = table.compact(spark)
+    assert out["applied"]
+    assert table.delta_stats()["delta_files"] == 0
+    assert_state_matches(spark, table, expected)
+
+    # idempotent re-delivery in MoR
+    v = table.current_version()
+    r = apply_batch(
+        table, load_events(spark, d0), commit_key="p:0", write_mode="mor"
+    )
+    assert not r["applied"] and table.current_version() == v
+
+
+def test_mor_runner_auto_compaction(spark, tmp_warehouse):
+    spec = EventLogSpec(n_docs=80, n_events=600, n_segments=6, seed=23, num_buckets=NB)
+    state = generate_initial_state(spec)
+    sp = os.path.join(tmp_warehouse, "s.parquet")
+    write_state(sp, state)
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    os.makedirs(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="p1",
+        warehouse=os.path.join(tmp_warehouse, "wh"),
+        num_buckets=NB,
+        write_mode="mor",
+        mor_compact_threshold=6,
+    )
+    src = ParquetWalSource(spark, sp, log_dir, num_buckets=NB)
+    r = PartialIngestRunner(spark, cfg, src)
+    r.start()
+    wal = generate_change_log(spec, out_dir=log_dir)
+    for seg in src.wal_segment_paths():
+        r.tail_batch(src.wal_batch([seg]))
+
+    # auto-compaction kept delta count under the threshold
+    assert r.table.delta_stats()["delta_files"] < 6 + NB
+
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    expected = oracle_apply([snap] + wal)
+    assert_state_matches(spark, r.table, expected)
+
+
+def test_mor_schema_evolution(spark, tmp_warehouse):
+    from debezium_partial_snapshotter_spark.schemas import CHANGE_EVENT_SCHEMA_V2
+
+    spec1 = EventLogSpec(n_docs=60, n_events=200, n_segments=1, seed=29, num_buckets=NB)
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, "tokens"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    wal1 = generate_change_log(spec1)
+    d1 = os.path.join(tmp_warehouse, "e1")
+    os.makedirs(d1)
+    pq.write_table(wal1[0], os.path.join(d1, "w.parquet"))
+    apply_batch(table, load_events(spark, d1), commit_key="p:1", write_mode="mor")
+
+    spec2 = EventLogSpec(
+        n_docs=60, n_events=200, n_segments=1, seed=30, num_buckets=NB, schema_v2=True
+    )
+    wal2 = generate_change_log(
+        spec2, first_lsn=spec1.start_lsn + spec1.n_events + 1
+    )
+    d2 = os.path.join(tmp_warehouse, "e2")
+    os.makedirs(d2)
+    pq.write_table(wal2[0], os.path.join(d2, "w.parquet"))
+    stats = apply_batch(
+        table,
+        spark.read.schema(CHANGE_EVENT_SCHEMA_V2).parquet(d2),
+        commit_key="p:2",
+        write_mode="mor",
+    )
+    assert stats["schema_evolved"]
+    expected = oracle_apply(wal1 + wal2)
+    assert_state_matches(spark, table, expected, check_extra_cols=("lang",))

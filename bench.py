@@ -136,6 +136,7 @@ def run_replay(spark, sf: float) -> dict:
         # reflected in the snapshot) and nothing is measured
         live_log = os.path.join(wh, "live_wal")
         os.makedirs(live_log)
+        cfg.write_mode = os.environ.get("DPS_BENCH_MODE", cfg.write_mode)
         src = ParquetWalSource(spark, state_path, live_log, num_buckets=nb)
         runner = PartialIngestRunner(spark, cfg, src)
 

@@ -42,10 +42,35 @@ def _ord_col(df: DataFrame):
 def latest_events(
     batch: DataFrame,
     key: str = "doc_id",
-    strategy: str = "max_by",
+    strategy: str = "join",
     salt_buckets: int = 0,
 ) -> DataFrame:
-    """One row per key: the (lsn, op_rank)-maximal event."""
+    """One row per key: the (lsn, op_rank)-maximal event.
+
+    'join' (default, the hot-path plan): primitive max of the encoded
+    order + SHUFFLE_HASH join-back — all HashAggregate, wide rows never
+    sorted. 'max_by'/'window' kept for comparison and for callers that
+    need pre-images.
+    """
+    if strategy == "join":
+        ord_ = (F.col("lsn") * 4 + op_rank(F.col("op"))).alias("_ord")
+        cand = batch.withColumn("_ord", ord_)
+        if salt_buckets and salt_buckets > 1:
+            maxes = (
+                cand.withColumn("_salt", salt(F.col("lsn"), salt_buckets))
+                .groupBy(key, "_salt")
+                .agg(F.max("_ord").alias("_mx"))
+                .groupBy(key)
+                .agg(F.max("_mx").alias("_mx"))
+            )
+        else:
+            maxes = cand.groupBy(key).agg(F.max("_ord").alias("_mx"))
+        return (
+            cand.join(maxes.hint("SHUFFLE_HASH"), key)
+            .where(F.col("_ord") == F.col("_mx"))
+            .dropDuplicates([key])
+            .drop("_ord", "_mx")
+        )
     if strategy == "window":
         from pyspark.sql.window import Window
 

@@ -71,6 +71,7 @@ def apply_batch(
     dedup_strategy: str = "max_by",
     salt_buckets: int = 0,
     write_mode: str = "cow",
+    tie_guard: bool = False,
 ) -> dict:
     """Apply one micro-batch / epoch of change events. Idempotent under
     re-delivery of the same commit_key (returns ``applied=False``).
@@ -167,17 +168,32 @@ def apply_batch(
     # fits; the SHUFFLE_HASH hint pins the fallback to ShuffledHashJoin
     # (without it the static planner picks SortMergeJoin, which sorts the
     # wide token-array side — the exact plan this formulation avoids).
-    # dropDuplicates guards the duplicate-delivery tie (same key, same
-    # lsn, same rank => identical content, either row is correct); it
-    # runs AFTER the max filter, on ~1 row per key.
-    winners = (
-        all_cand.join(maxes.hint("SHUFFLE_HASH"), "doc_id")
-        .where(F.col("_ord") == F.col("_mx"))
-        .dropDuplicates(["doc_id"])
-        .drop("_ord", "_mx")
+    obs_keys = Observation()
+    maxes = maxes.observe(obs_keys, F.count(F.lit(1)).alias("n_keys"))
+    winners = all_cand.join(maxes.hint("SHUFFLE_HASH"), "doc_id").where(
+        F.col("_ord") == F.col("_mx")
+    )
+    if tie_guard:
+        # a duplicate-delivered event ties with itself (same key, same
+        # lsn, same rank, identical content) — keep exactly one copy.
+        # dropDuplicates compiles to SortAggregate over the full winner
+        # set (~45% of epoch cost at 32 cores), so the default hot path
+        # skips it and instead VALIDATES tie-freeness pre-commit (below),
+        # retrying with the guard on only when a tie actually occurred.
+        winners = winners.dropDuplicates(["doc_id"])
+    obs_pre = Observation()
+    winners = winners.drop("_ord", "_mx").observe(
+        obs_pre, F.count(F.lit(1)).alias("n_rows")
     )
 
     obs = Observation()
+    validate = None
+    if not tie_guard:
+        # winner rows observed during the write must equal the distinct
+        # key count; checked AFTER the data files land but BEFORE the
+        # manifest swap — a detected tie abandons the commit dir.
+        validate = lambda: obs_pre.get["n_rows"] == obs_keys.get["n_keys"]  # noqa: E731
+
     # ---- 5. atomic commit (data + schema + commit key + watermark)
     if write_mode == "mor":
         # keep tombstones: a delta delete must shadow older base rows
@@ -190,6 +206,7 @@ def apply_batch(
             commit_key=commit_key,
             new_schema=with_system(merged) if evolved else None,
             watermark_lsn=batch_watermark,
+            validate=validate,
         )
     else:
         new_content = (
@@ -204,6 +221,19 @@ def apply_batch(
             commit_key=commit_key,
             new_schema=with_system(merged) if evolved else None,
             watermark_lsn=batch_watermark,
+            validate=validate,
+        )
+
+    if applied == "invalid":
+        # a genuine duplicate-delivery tie: redo with the guard on
+        return apply_batch(
+            table,
+            events,
+            commit_key=commit_key,
+            dedup_strategy=dedup_strategy,
+            salt_buckets=salt_buckets,
+            write_mode=write_mode,
+            tie_guard=True,
         )
     wall = time.time() - t0
     return {

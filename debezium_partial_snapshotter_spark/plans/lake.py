@@ -66,14 +66,13 @@ def _atomic_create(tmp_path: str, final_path: str) -> bool:
             pass
 
 
-def _resolve_mor(base: DataFrame, deltas: DataFrame) -> DataFrame:
+def _resolve_mor(base: DataFrame, deltas: DataFrame, key: str = "doc_id") -> DataFrame:
     """Winner per key by (_lsn, _op_rank) over (base ∪ deltas), keeping
     delete tombstones until the caller drops them. Same sort-free plan
     as the apply merge: primitive max + SHUFFLE_HASH join-back."""
     allc = base.unionByName(deltas).withColumn(
         "_mord", F.col("_lsn") * 4 + F.col("_op_rank")
     )
-    key = "doc_id" if "doc_id" in allc.columns else allc.columns[0]
     maxes = allc.groupBy(key).agg(F.max("_mord").alias("_mmx"))
     resolved = (
         allc.join(maxes.hint("SHUFFLE_HASH"), key)
@@ -232,7 +231,9 @@ class LakeTable:
         )
         deltas = self._read_files(spark, delta_files, delta_schema)
         return _resolve_mor(
-            base.withColumn("_is_delete", F.lit(False)), deltas
+            base.withColumn("_is_delete", F.lit(False)),
+            deltas,
+            key=man.get("bucket_key", "doc_id"),
         ).drop("_is_delete")
 
     # ------------------------------------------------------------- commit
@@ -274,7 +275,8 @@ class LakeTable:
         new_schema: StructType | None = None,
         watermark_lsn: int | None = None,
         max_retries: int = 5,
-    ) -> bool:
+        validate=None,
+    ) -> bool | str:
         """Merge-on-read commit: append ``df`` (batch winners INCLUDING
         delete tombstones, carrying ``_bucket`` and ``_is_delete``) as
         delta files — no base rewrite. Readers resolve winners on the
@@ -284,6 +286,9 @@ class LakeTable:
         if commit_key is not None and commit_key in self.committed_keys():
             return False
         commit_dir, new_files = self._write_partitioned(df, affected_buckets)
+        if validate is not None and not validate():
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            return "invalid"
         for attempt in range(max_retries):
             man = self.manifest()
             if commit_key is not None and commit_key in set(man["commit_keys"]):
@@ -331,7 +336,9 @@ class LakeTable:
         new_schema: StructType | None = None,
         watermark_lsn: int | None = None,
         max_retries: int = 5,
-    ) -> bool:
+        validate=None,
+        expected_version: int | None = None,
+    ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
 
@@ -339,14 +346,32 @@ class LakeTable:
         must carry an integer ``_bucket`` column. Returns False when
         ``commit_key`` was already committed (idempotent replay —
         exactly-once under at-least-once delivery).
+
+        ``expected_version`` turns the commit into strict
+        compare-and-swap: if any other commit landed since the caller
+        read that version, raise CommitConflict instead of retrying on
+        top of it. Compaction uses this — its new base was computed FROM
+        ``expected_version``, so committing over a newer manifest would
+        silently drop the concurrent writer's deltas.
         """
         if commit_key is not None and commit_key in self.committed_keys():
             return False
 
         commit_dir, new_files = self._write_partitioned(df, affected_buckets)
+        # post-write / pre-commit validation window: data files exist but
+        # the manifest swap has NOT happened — a failed validation
+        # abandons the commit dir with zero reader-visible effect.
+        if validate is not None and not validate():
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            return "invalid"
 
         for attempt in range(max_retries):
             man = self.manifest()
+            if expected_version is not None and man["version"] != expected_version:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"expected v{expected_version}, found v{man['version']}"
+                )
             if commit_key is not None and commit_key in set(man["commit_keys"]):
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 return False
@@ -407,7 +432,8 @@ class LakeTable:
         analog). A no-op when the layout is already tight."""
         from debezium_partial_snapshotter_spark.functions import bucket_id
 
-        man = self.manifest()
+        base_version = self.current_version()
+        man = self.manifest(base_version)
         targets = sorted(
             {
                 int(b)
@@ -418,8 +444,13 @@ class LakeTable:
         )
         if not targets:
             return {"compacted_buckets": [], "applied": False}
-        df = self.read(spark, buckets=targets).withColumn(
+        df = self.read(spark, buckets=targets, version=base_version).withColumn(
             "_bucket", bucket_id(F.col(self.bucket_key), self.num_buckets)
         )
-        applied = self.replace_buckets(df, targets, commit_key=commit_key)
+        # strict CAS on the version the new base was computed from: a
+        # concurrent delta commit makes this raise instead of being
+        # silently dropped; callers re-run compaction.
+        applied = self.replace_buckets(
+            df, targets, commit_key=commit_key, expected_version=base_version
+        )
         return {"compacted_buckets": targets, "applied": applied}

@@ -130,3 +130,31 @@ def test_mor_schema_evolution(spark, tmp_warehouse):
     assert stats["schema_evolved"]
     expected = oracle_apply(wal1 + wal2)
     assert_state_matches(spark, table, expected, check_extra_cols=("lang",))
+
+
+def test_duplicate_delivery_tie_fallback(spark, tmp_warehouse):
+    """Literal duplicate event rows (same key, lsn, rank) tie for the
+    max: the validated fast path must detect this pre-commit and retry
+    with the guard, ending with exactly one row per key."""
+    import pyarrow as pa
+    from debezium_partial_snapshotter_spark.sources.eventlog import (
+        generate_change_log as gcl,
+    )
+
+    spec = EventLogSpec(n_docs=30, n_events=100, n_segments=1, seed=31, num_buckets=NB)
+    wal = gcl(spec)
+    doubled = pa.concat_tables([wal[0], wal[0]])  # every event twice
+    d = os.path.join(tmp_warehouse, "dup")
+    os.makedirs(d)
+    pq.write_table(doubled, os.path.join(d, "w.parquet"))
+
+    for mode in ("cow", "mor"):
+        table = empty_table_for(
+            os.path.join(tmp_warehouse, f"tokens_{mode}"), TOKENS_SCHEMA, num_buckets=NB
+        )
+        stats = apply_batch(
+            table, load_events(spark, d), commit_key="p:0", write_mode=mode
+        )
+        assert stats["applied"] is True
+        expected = oracle_apply(wal)
+        assert_state_matches(spark, table, expected)

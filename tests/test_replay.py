@@ -157,8 +157,10 @@ def test_dedup_strategies_agree(spark, tmp_warehouse):
     c = latest_events(df, strategy="max_by", salt_buckets=8).select(
         "doc_id", "lsn", "op"
     )
+    d = latest_events(df, strategy="join").select("doc_id", "lsn", "op")
+    e = latest_events(df, strategy="join", salt_buckets=8).select(
+        "doc_id", "lsn", "op"
+    )
     pa_ = a.orderBy("doc_id").toPandas()
-    pb = b.orderBy("doc_id").toPandas()
-    pc = c.orderBy("doc_id").toPandas()
-    assert pa_.equals(pb)
-    assert pa_.equals(pc)
+    for other in (b, c, d, e):
+        assert pa_.equals(other.orderBy("doc_id").toPandas())

@@ -85,9 +85,9 @@ def run_replay(spark, sf: float) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n_events = int(os.environ.get("DPS_BENCH_EVENTS", int(4_000_000 * sf)))
+    n_events = int(os.environ.get("DPS_BENCH_EVENTS", int(8_000_000 * sf)))
     n_docs = max(1000, n_events // 20)
-    n_segments = int(os.environ.get("DPS_BENCH_SEGMENTS", "8"))
+    n_segments = int(os.environ.get("DPS_BENCH_SEGMENTS", "4"))
     wh = tempfile.mkdtemp(prefix="dps_bench_")
     try:
         spec = EventLogSpec(

@@ -237,6 +237,160 @@ SELECT user_id, op AS win_op, win_value, win_lsn FROM winner WHERE op <> 'd'
 """
 
 
+def q_engine_replay(spark, sf_dir):
+    """The FLAGSHIP path, driver-oracled: run the real engine
+    (PartialIngestRunner: full snapshot epoch + two WAL tail epochs +
+    an idempotent redelivery no-op) over a change log derived
+    deterministically from the driver's events table (key = user_id,
+    lsn = event_id, op = 'd' iff event_type = 'error'; source state =
+    the upsert image of events at lsn <= w, WAL = events with lsn > w).
+    Returns the final materialized table. Reference behavior pinned:
+    testReplayRecordsDuringResnapshot (PartialSnapshotterTest.java:183-237)
+    + golden final-state assertions (:444-471)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.functions import table_partition
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    event_schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("snapshot", StringType(), True),
+            StructField("table_partition", StringType(), False),
+            StructField("after", payload, True),
+        ]
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    w = ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("w")).collect()[0]["w"]
+    mid = ev.agg(
+        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m")
+    ).collect()[0]["m"]
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_replay_")
+    try:
+        # source table state at the snapshot point: upsert image of lsn <= w
+        state = (
+            ev.where(F.col("event_id") <= w)
+            .groupBy("user_id")
+            .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
+            .where(F.col("s.op") != "d")
+            .select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        state_path = os.path.join(wh, "state.parquet")
+        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        log_dir = os.path.join(wh, "wal")
+        os.makedirs(log_dir)
+
+        def write_wal(lo: int, hi: int, name: str) -> None:
+            seg = ev.where(
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+            ).select(
+                "op",
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("event_id").cast("long").alias("lsn"),
+                F.lit("false").alias("snapshot"),
+                table_partition(
+                    "tokens", bucket_id(F.col("user_id").cast("string"), nb)
+                ).alias("table_partition"),
+                F.when(F.col("op") == "d", F.lit(None).cast(payload))
+                .otherwise(
+                    F.struct(
+                        F.col("user_id").cast("string").alias("doc_id"),
+                        F.col("value"),
+                    )
+                )
+                .alias("after"),
+            )
+            seg.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(log_dir, name)
+            )
+
+        cfg = PipelineConfig(
+            pipeline_id="replay",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        src = ParquetWalSource(
+            spark, state_path, log_dir, num_buckets=nb, event_schema=event_schema
+        )
+        runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
+        runner.start()  # catchup (WAL empty) + full snapshot at W=0
+        write_wal(w, mid, "seg-00001.parquet")
+        runner.tail_batch()
+        write_wal(mid, 1 << 60, "seg-00002.parquet")
+        runner.tail_batch()
+        dup = runner.tail_batch()  # redelivery: must be an idempotent no-op
+        assert not dup.get("applied"), "redelivered tail batch was re-applied"
+        out = runner.table.read(spark).select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        # materialize before the temp warehouse is deleted
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# The engine's final state must equal the declarative upsert image:
+# snapshot rows (lsn 0) lose to any WAL event; latest (lsn, op) per key
+# wins; keys whose latest op is a delete drop out.
+SQL_ENGINE_REPLAY = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+state AS (
+  SELECT user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged WHERE event_id > (SELECT w FROM wm)
+  GROUP BY user_id
+),
+merged AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.op ELSE 'r' END AS op,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post p FULL OUTER JOIN state s ON p.user_id = s.user_id
+)
+SELECT user_id, round(value, 4) AS final_value, lsn AS final_lsn
+FROM merged WHERE op <> 'd'
+"""
+
+
 def q_bucket_assignment(spark, sf_dir):
     """The engine's portable bucket(doc_id) partitioner (md5-based) —
     per-bucket key counts, i.e. the partition-skew histogram."""
@@ -465,7 +619,10 @@ WITH words AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       -- CAST: DuckDB's sum() over BIGINT yields HUGEINT, which lands in
+       -- pandas as float64 and hash-mismatches Spark's int64 even when
+       -- the values are identical (CORRECTNESS_r01 simhash failure).
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
 """
 
@@ -578,12 +735,88 @@ QUALIFY rank <= 5
 
 
 def q_ivf_topk(spark, sf_dir):
-    """Approximate ANN (IVF, n_probe cells) — deterministic but not
-    SQL-mirrorable cheaply; driver records the rows-only check, and
-    tests/test_similarity.py asserts recall >= 0.9 vs brute force."""
+    """Approximate ANN (IVF, n_probe cells). The index is deterministic
+    by construction (centroids = first n_cells vectors, argmax-cosine
+    assignment), so a full DuckDB twin exists below; recall >= 0.9 vs
+    brute force is additionally asserted in tests/test_pipeline_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+# Mirrors similarity.ivf_topk exactly: double-cast + L2-normalize, centroids
+# = first 16 vectors by id, cell = argmax cosine (ties -> lowest cell id),
+# queries probe their 4 nearest cells, exact cosine within probed cells.
+SQL_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v0, x -> x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+  FROM e
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM n ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id AS item_id, v AS iv, cell FROM (
+    SELECT n.vec_id, n.v, c.cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell ASC) AS r
+    FROM n CROSS JOIN cents c
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= 4
+), scored AS (
+  SELECT p.query_id, a.item_id, round(list_dot_product(p.qv, a.iv), 4) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.item_id <> p.query_id
+)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Sign-LSH bucketed embedding near-dup (dedup_docs.embedding_near_dup):
+    md5-derived hyperplanes -> 8-bit signature buckets -> exact cosine
+    verify ONLY within buckets (equi-join, never all-pairs). Threshold
+    0.3 because the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.51 at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup(emb, threshold=0.3, planes=8)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings
+), n AS (
+  SELECT vid,
+         list_transform(v0, x -> x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+  FROM e
+), sig AS (
+  SELECT vid, v, concat(
+    {planes}
+  ) AS s FROM n
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       round(list_dot_product(a.v, b.v), 4) AS cosine
+FROM sig a JOIN sig b ON a.s = b.s AND a.vid < b.vid
+WHERE round(list_dot_product(a.v, b.v), 4) >= 0.3
+""".format(
+    planes=",\n    ".join(
+        "CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * "
+        "(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || '%d'),1,6)) AS BIGINT)"
+        "/8388608.0 - 1.0))) >= 0 THEN '1' ELSE '0' END" % p
+        for p in range(8)
+    )
+)
 
 
 # --------------------------------------------------------------------------
@@ -630,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_image": q_cdc_last_image,
         "cdc_upsert_final_state": q_cdc_upsert_final_state,
         "cdc_snapshot_wal_conflict": q_cdc_snapshot_wal_conflict,
+        "engine_replay": q_engine_replay,
         "bucket_assignment": q_bucket_assignment,
         "tracker_discovery": q_tracker_discovery,
         "catchup_backlog": q_catchup_backlog,
@@ -646,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -656,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_last_image": SQL_CDC_LAST_IMAGE,
         "cdc_upsert_final_state": SQL_CDC_UPSERT_FINAL_STATE,
         "cdc_snapshot_wal_conflict": SQL_CDC_SNAPSHOT_WAL_CONFLICT,
+        "engine_replay": SQL_ENGINE_REPLAY,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,
         "tracker_discovery": SQL_TRACKER_DISCOVERY,
         "catchup_backlog": SQL_CATCHUP_BACKLOG,
@@ -671,7 +907,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
         "cosine_topk": SQL_COSINE_TOPK,
-        # ivf_topk: approximate — rows-only check by design
+        "ivf_topk": SQL_IVF_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "frame_sample": SQL_FRAME_SAMPLE,
     }

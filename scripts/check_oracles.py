@@ -73,7 +73,25 @@ def main(only: list[str] | None = None):
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = ok_cols and value_hash(sdf) == value_hash(odf)
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        # The driver's canonicalization stringifies float64 and int64
+        # differently (1.26e7 vs 12602444) — norm_cell above hides that,
+        # so an int/float dtype divergence must fail HERE too
+        # (CORRECTNESS_r01 simhash: DuckDB HUGEINT -> float64).
+        bad_dtypes = (
+            [
+                (c, sdf[c].dtype.kind, odf[c].dtype.kind)
+                for c in sdf.columns
+                if sdf[c].dtype.kind != odf[c].dtype.kind
+                and {sdf[c].dtype.kind, odf[c].dtype.kind} & {"f", "i", "u"}
+            ]
+            if ok_cols
+            else []
+        )
+        status = (
+            "OK" if (ok_rows and ok_cols and ok_hash and not bad_dtypes) else "MISMATCH"
+        )
+        if bad_dtypes:
+            print(f"{name:28s} DTYPE-MISMATCH {bad_dtypes}")
         print(
             f"{name:28s} {status:9s} rows {len(sdf)}/{len(odf)} cols_ok={ok_cols} hash_ok={ok_hash}"
         )

@@ -41,7 +41,7 @@ from debezium_partial_snapshotter_spark.operators.schema_evolution import (
     merge_schemas,
     schemas_equal,
 )
-from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+from debezium_partial_snapshotter_spark.plans.lake import CommitConflict, LakeTable
 
 SYSTEM_FIELDS = [
     StructField("_lsn", LongType(), False),
@@ -72,6 +72,8 @@ def apply_batch(
     salt_buckets: int = 0,
     write_mode: str = "cow",
     tie_guard: bool = False,
+    watermark_kind: str = "wal",
+    _merge_retries: int = 3,
 ) -> dict:
     """Apply one micro-batch / epoch of change events. Idempotent under
     re-delivery of the same commit_key (returns ``applied=False``).
@@ -84,6 +86,16 @@ def apply_batch(
         Cuts write amplification for epochs touching a small fraction
         of each bucket — at a 100 TB table this is the difference
         between rewriting ~1 TB and writing ~1 GB per epoch.
+
+    watermark_kind:
+      - 'wal' (default): the batch is replayed WAL — advance the
+        manifest's global watermark_lsn (the tail/catchup filter).
+      - 'snapshot': the batch is a snapshot scan — advance ONLY
+        snapshot_lsn. A partial snapshot claiming some partitions must
+        NOT advance the WAL filter, or log events not yet applied for
+        UNclaimed partitions would be skipped forever (silent loss);
+        the (lsn, op_rank) max-merge keeps re-applying the overlapping
+        WAL events idempotent.
     """
     t0 = time.time()
     spark = events.sparkSession
@@ -130,12 +142,18 @@ def apply_batch(
     batch_cand = batch_cand.drop("doc_id").withColumnRenamed("__key", "doc_id")
     batch_cand = conform(batch_cand, with_candidates_schema(merged))
 
+    read_version = None
     if write_mode == "mor":
         # MoR: resolve within the batch only; global resolution happens
         # at read time (the reader's max covers any epoch ordering)
         cur_cand = None
     else:
-        current = table.read(spark, buckets=affected)
+        # Pin the version the merge is computed FROM — the commit below
+        # passes it as read_version so a concurrent commit into the same
+        # buckets raises CommitConflict (re-read + re-merge) instead of
+        # being silently overwritten by stale content.
+        read_version = table.current_version()
+        current = table.read(spark, buckets=affected, version=read_version)
         cur_cand = conform(
             current.withColumn("_is_delete", F.lit(False)),
             with_candidates_schema(merged),
@@ -195,6 +213,11 @@ def apply_batch(
         validate = lambda: obs_pre.get["n_rows"] == obs_keys.get["n_keys"]  # noqa: E731
 
     # ---- 5. atomic commit (data + schema + commit key + watermark)
+    wm_kwargs = (
+        {"watermark_lsn": batch_watermark}
+        if watermark_kind == "wal"
+        else {"snapshot_lsn": batch_watermark}
+    )
     if write_mode == "mor":
         # keep tombstones: a delta delete must shadow older base rows
         new_content = winners.withColumn(
@@ -205,8 +228,8 @@ def apply_batch(
             affected_buckets=affected,
             commit_key=commit_key,
             new_schema=with_system(merged) if evolved else None,
-            watermark_lsn=batch_watermark,
             validate=validate,
+            **wm_kwargs,
         )
     else:
         new_content = (
@@ -215,14 +238,32 @@ def apply_batch(
             .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
             .observe(obs, F.count(F.lit(1)).alias("rows_live"))
         )
-        applied = table.replace_buckets(
-            new_content,
-            affected_buckets=affected,
-            commit_key=commit_key,
-            new_schema=with_system(merged) if evolved else None,
-            watermark_lsn=batch_watermark,
-            validate=validate,
-        )
+        try:
+            applied = table.replace_buckets(
+                new_content,
+                affected_buckets=affected,
+                commit_key=commit_key,
+                new_schema=with_system(merged) if evolved else None,
+                validate=validate,
+                read_version=read_version,
+                **wm_kwargs,
+            )
+        except CommitConflict:
+            # a concurrent writer committed into our buckets after we
+            # read them: the merge is stale — re-read and re-merge.
+            if _merge_retries <= 0:
+                raise
+            return apply_batch(
+                table,
+                events,
+                commit_key=commit_key,
+                dedup_strategy=dedup_strategy,
+                salt_buckets=salt_buckets,
+                write_mode=write_mode,
+                tie_guard=tie_guard,
+                watermark_kind=watermark_kind,
+                _merge_retries=_merge_retries - 1,
+            )
 
     if applied == "invalid":
         # a genuine duplicate-delivery tie: redo with the guard on
@@ -234,6 +275,8 @@ def apply_batch(
             salt_buckets=salt_buckets,
             write_mode=write_mode,
             tie_guard=True,
+            watermark_kind=watermark_kind,
+            _merge_retries=_merge_retries,
         )
     wall = time.time() - t0
     return {

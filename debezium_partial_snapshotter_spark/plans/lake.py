@@ -119,7 +119,18 @@ class LakeTable:
             "buckets": {},  # str(bucket) -> [relative file paths] (base)
             "deltas": {},  # str(bucket) -> [relative file paths] (MoR)
             "commit_keys": [],
+            # watermark_lsn: highest WAL lsn fully APPLIED across all
+            # partitions — the tail/catchup replay filter. Advanced ONLY
+            # by WAL-applying commits: a partial snapshot must not move
+            # it, or WAL events already in the log for UNclaimed
+            # partitions would be filtered out forever (silent loss).
             "watermark_lsn": -1,
+            # snapshot_lsn: highest snapshot consistency point ever
+            # used. Advanced ONLY by snapshot commits; keeps successive
+            # snapshot watermarks strictly increasing (a re-snapshot
+            # must beat rows stored by a previous snapshot) without
+            # touching the WAL replay filter above.
+            "snapshot_lsn": -1,
             "parent": None,
             "ts": time.time(),
         }
@@ -180,6 +191,30 @@ class LakeTable:
 
     def watermark_lsn(self) -> int:
         return self.manifest().get("watermark_lsn", -1)
+
+    def snapshot_lsn(self) -> int:
+        return self.manifest().get("snapshot_lsn", -1)
+
+    def _conflicting_buckets(
+        self, read_version: int, man: dict, affected: Iterable[int]
+    ) -> set[int]:
+        """Buckets in ``affected`` touched by any commit in
+        (read_version, man.version] — walked over the parent chain.
+        Manifests written before ``touched`` existed count as touching
+        everything (conservative)."""
+        wanted = {int(b) for b in affected}
+        hit: set[int] = set()
+        cur = man
+        while cur["version"] > read_version:
+            t = cur.get("touched")
+            if t is None:
+                return wanted  # pre-upgrade manifest: assume full overlap
+            hit.update(int(b) for b in t)
+            parent = cur.get("parent")
+            if parent is None:
+                break
+            cur = self.manifest(parent)
+        return hit & wanted
 
     # --------------------------------------------------------------- read
     def _files(
@@ -274,6 +309,7 @@ class LakeTable:
         commit_key: str | None = None,
         new_schema: StructType | None = None,
         watermark_lsn: int | None = None,
+        snapshot_lsn: int | None = None,
         max_retries: int = 5,
         validate=None,
     ) -> bool | str:
@@ -301,6 +337,7 @@ class LakeTable:
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": man["commit_keys"]
                 + ([commit_key] if commit_key else []),
+                "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }
             for b, files in new_files.items():
@@ -311,6 +348,10 @@ class LakeTable:
             if watermark_lsn is not None:
                 new_man["watermark_lsn"] = max(
                     watermark_lsn, man.get("watermark_lsn", -1)
+                )
+            if snapshot_lsn is not None:
+                new_man["snapshot_lsn"] = max(
+                    snapshot_lsn, man.get("snapshot_lsn", -1)
                 )
             try:
                 self._write_manifest(new_man)
@@ -335,9 +376,11 @@ class LakeTable:
         commit_key: str | None = None,
         new_schema: StructType | None = None,
         watermark_lsn: int | None = None,
+        snapshot_lsn: int | None = None,
         max_retries: int = 5,
         validate=None,
         expected_version: int | None = None,
+        read_version: int | None = None,
     ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
@@ -353,6 +396,14 @@ class LakeTable:
         top of it. Compaction uses this — its new base was computed FROM
         ``expected_version``, so committing over a newer manifest would
         silently drop the concurrent writer's deltas.
+
+        ``read_version`` is the softer variant every MERGE writer should
+        pass: the version its new bucket content was computed FROM. If a
+        commit since then touched any of ``affected_buckets`` (per the
+        ``touched`` field on each manifest), committing would silently
+        drop that writer's rows/deltas — raise CommitConflict so the
+        caller re-reads and re-merges. Commits to DISJOINT buckets
+        rebase safely and do not conflict.
         """
         if commit_key is not None and commit_key in self.committed_keys():
             return False
@@ -372,6 +423,16 @@ class LakeTable:
                 raise CommitConflict(
                     f"expected v{expected_version}, found v{man['version']}"
                 )
+            if read_version is not None and man["version"] != read_version:
+                overlap = self._conflicting_buckets(
+                    read_version, man, affected_buckets
+                )
+                if overlap:
+                    shutil.rmtree(commit_dir, ignore_errors=True)
+                    raise CommitConflict(
+                        f"buckets {sorted(overlap)} were modified since "
+                        f"v{read_version}; caller must re-read and re-merge"
+                    )
             if commit_key is not None and commit_key in set(man["commit_keys"]):
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 return False
@@ -383,6 +444,7 @@ class LakeTable:
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": man["commit_keys"]
                 + ([commit_key] if commit_key else []),
+                "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }
             for b, files in new_files.items():
@@ -397,6 +459,10 @@ class LakeTable:
             if watermark_lsn is not None:
                 new_man["watermark_lsn"] = max(
                     watermark_lsn, man.get("watermark_lsn", -1)
+                )
+            if snapshot_lsn is not None:
+                new_man["snapshot_lsn"] = max(
+                    snapshot_lsn, man.get("snapshot_lsn", -1)
                 )
             try:
                 self._write_manifest(new_man)

@@ -76,9 +76,40 @@ class PartialIngestRunner:
 
     # ------------------------------------------------------------ helpers
     def _resume_epoch(self) -> int:
+        """Monotonic epoch resume. The commit log alone is NOT enough:
+        a crash between the manifest swap and the commit-log append
+        leaves the key committed in the MANIFEST but the epoch missing
+        from the log — resuming from the log would reuse the stale key,
+        apply_batch would return duplicate_commit_key forever, and
+        ingest would silently stall. Resume from the max of both."""
         df = self.commit_log.read_pandas()
         mine = df[df["pipeline_id"] == self.cfg.pipeline_id]
-        return int(mine["checkpoint_epoch"].max()) + 1 if len(mine) else 0
+        log_epoch = int(mine["checkpoint_epoch"].max()) if len(mine) else -1
+        man_epoch = -1
+        prefix = f"{self.cfg.pipeline_id}:"
+        for key in self.table.committed_keys():
+            if not key.startswith(prefix):
+                continue
+            parts = key.split(":")
+            # pipeline:phase:epoch (stream keys are pipeline:stream:batch_id
+            # — those are checkpoint-scoped, not epoch-scoped; skip them)
+            if len(parts) == 3 and parts[1] in ("catchup", "snapshot", "tail"):
+                try:
+                    man_epoch = max(man_epoch, int(parts[2]))
+                except ValueError:
+                    pass
+        return max(log_epoch, man_epoch) + 1
+
+    def _fresh_key(self, phase: str) -> str:
+        """Commit key for the current epoch, skipping over any epoch
+        whose key is already in the manifest (belt-and-braces against
+        the crash window _resume_epoch describes)."""
+        committed = self.table.committed_keys()
+        key = f"{self.cfg.pipeline_id}:{phase}:{self._epoch}"
+        while key in committed:
+            self._epoch += 1
+            key = f"{self.cfg.pipeline_id}:{phase}:{self._epoch}"
+        return key
 
     def discovered_partitions(self) -> list[str]:
         """The set of (table, bucket) work units — the analog of
@@ -157,6 +188,7 @@ class PartialIngestRunner:
             dedup_strategy=self.cfg.dedup_strategy,
             salt_buckets=self.cfg.salt_buckets,
             write_mode=self.cfg.write_mode,
+            watermark_kind="snapshot" if phase == "snapshot" else "wal",
         )
         stats["commit_key"] = commit_key
         if (
@@ -173,10 +205,10 @@ class PartialIngestRunner:
         """B3 — drain the WAL backlog before any snapshot work. Only
         events past the table's LSN high watermark apply (idempotent
         under overlapping re-reads)."""
+        key = self._fresh_key("catchup")
         epoch = self._epoch
         wm = self.table.watermark_lsn()
         events = self.source.wal_batch().where(F.col("lsn") > F.lit(wm))
-        key = f"{self.cfg.pipeline_id}:catchup:{epoch}"
         stats = self._apply(events, "catchup", key)
         if stats.get("applied"):
             self._record("catchup", epoch, stats)
@@ -186,17 +218,23 @@ class PartialIngestRunner:
     def snapshot_epoch(self) -> dict:
         """The partial-snapshot pass: claim -> bounded scan of claimed
         buckets only -> apply -> release (A1-A7, B1)."""
+        key = self._fresh_key("snapshot")
         epoch = self._epoch
         try:
             discovered = self.discovered_partitions()
             # the snapshot consistency point: at least the source's WAL
-            # head, and STRICTLY above everything already applied — a
-            # re-snapshot re-reads the source and must beat rows stored
-            # by a previous snapshot at the same LSN (reference:
-            # testResnapshotPartial), while still losing (op-rank) to
-            # WAL events at lsn >= watermark that arrive later.
+            # head, STRICTLY above everything already applied AND above
+            # every previous snapshot watermark — a re-snapshot re-reads
+            # the source and must beat rows stored by a previous snapshot
+            # at the same LSN (reference: testResnapshotPartial), while
+            # still losing (op-rank) to WAL events at lsn >= watermark
+            # that arrive later. snapshot_lsn (not watermark_lsn) keeps
+            # this monotonic: partial snapshots do NOT advance the WAL
+            # replay filter (see apply_batch watermark_kind).
             watermark = max(
-                self.source.current_lsn(), self.table.watermark_lsn() + 1
+                self.source.current_lsn(),
+                self.table.watermark_lsn() + 1,
+                self.table.snapshot_lsn() + 1,
             )
             claimed = self.tracker.claim(
                 discovered,
@@ -214,7 +252,9 @@ class PartialIngestRunner:
             if self.cfg.on_tracker_error == "snapshot":
                 claimed = self.discovered_partitions()
                 watermark = max(
-                    self.source.current_lsn(), self.table.watermark_lsn() + 1
+                    self.source.current_lsn(),
+                    self.table.watermark_lsn() + 1,
+                    self.table.snapshot_lsn() + 1,
                 )
             else:  # skip
                 return {"applied": False, "reason": "tracker_error_skip"}
@@ -225,7 +265,6 @@ class PartialIngestRunner:
             return {"applied": False, "reason": "nothing_claimed", "claimed": []}
 
         events = self.source.snapshot(self.buckets_of(claimed), watermark)
-        key = f"{self.cfg.pipeline_id}:snapshot:{epoch}"
         stats = self._apply(events, "snapshot", key)
         self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
         stats["claimed"] = claimed
@@ -238,12 +277,12 @@ class PartialIngestRunner:
     def tail_batch(self, events: DataFrame | None = None) -> dict:
         """One bounded tail epoch (micro-batch outside Structured
         Streaming — used by tests and the bench replay loop)."""
+        key = self._fresh_key("tail")
         epoch = self._epoch
         wm = self.table.watermark_lsn()
         if events is None:
             events = self.source.wal_batch()
         events = events.where(F.col("lsn") > F.lit(wm))
-        key = f"{self.cfg.pipeline_id}:tail:{epoch}"
         stats = self._apply(events, "tail", key)
         if stats.get("applied"):
             self._record("tail", epoch, stats)

@@ -54,7 +54,15 @@ def latest_events(
     """
     if strategy == "join":
         ord_ = (F.col("lsn") * 4 + op_rank(F.col("op"))).alias("_ord")
-        cand = batch.withColumn("_ord", ord_)
+        # _uid is attached BEFORE any exchange: monotonically_increasing_id
+        # is a pure function of (input partition, row position), which is
+        # stable for a scan but NOT for post-shuffle row order — assigning
+        # it after the join would give the two consumers of `winners`
+        # (the min-agg and the probe side below) different uids for the
+        # same row, breaking the tie-break filter.
+        cand = batch.withColumn("_ord", ord_).withColumn(
+            "_uid", F.monotonically_increasing_id()
+        )
         if salt_buckets and salt_buckets > 1:
             maxes = (
                 cand.withColumn("_salt", salt(F.col("lsn"), salt_buckets))
@@ -65,11 +73,24 @@ def latest_events(
             )
         else:
             maxes = cand.groupBy(key).agg(F.max("_ord").alias("_mx"))
+        winners = cand.join(maxes.hint("SHUFFLE_HASH"), key).where(
+            F.col("_ord") == F.col("_mx")
+        )
+        # Tie-break WITHOUT dropDuplicates: duplicate-delivered events tie
+        # with themselves (same key, same _ord, identical content), and
+        # dropDuplicates on wide rows compiles to SortAggregate with
+        # First() buffers (~45% of epoch cost measured at 32 cores).
+        # Instead: keep the row with the minimal _uid among the tied
+        # winners — a narrow primitive HashAggregate plus one more
+        # co-partitioned hash join (everything is already partitioned by
+        # `key` after the first join, so no extra shuffle and no sort of
+        # wide rows). Tied rows are content-identical, so the uid's
+        # choice cannot change the output content.
+        mins = winners.groupBy(key).agg(F.min("_uid").alias("_mu"))
         return (
-            cand.join(maxes.hint("SHUFFLE_HASH"), key)
-            .where(F.col("_ord") == F.col("_mx"))
-            .dropDuplicates([key])
-            .drop("_ord", "_mx")
+            winners.join(mins.hint("SHUFFLE_HASH"), key)
+            .where(F.col("_uid") == F.col("_mu"))
+            .drop("_ord", "_mx", "_uid", "_mu")
         )
     if strategy == "window":
         from pyspark.sql.window import Window

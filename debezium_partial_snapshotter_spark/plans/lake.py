@@ -69,7 +69,22 @@ def _atomic_create(tmp_path: str, final_path: str) -> bool:
 def _resolve_mor(base: DataFrame, deltas: DataFrame, key: str = "doc_id") -> DataFrame:
     """Winner per key by (_lsn, _op_rank) over (base ∪ deltas), keeping
     delete tombstones until the caller drops them. Same sort-free plan
-    as the apply merge: primitive max + SHUFFLE_HASH join-back."""
+    as the apply merge: primitive max + SHUFFLE_HASH join-back.
+
+    No tie guard: stored rows are tie-free BY CONSTRUCTION, so the
+    join-back yields exactly one row per key. Proof: (a) within one
+    commit, winners are validated tie-free before the manifest swap
+    (apply_batch's pre-commit count check, retried with the guard on
+    when a duplicate-delivery tie occurs); (b) across commits, two WAL
+    commits never share a (key, lsn) — each batch filters
+    lsn > watermark_lsn, which advances to the batch max before the
+    next WAL commit — and two snapshot commits never share an lsn
+    (snapshot_lsn keeps snapshot watermarks strictly increasing); (c) a
+    WAL row and a snapshot row CAN share an lsn but never an _ord
+    (op_rank 'r'=0 vs >=1); (d) exact redeliveries are blocked by the
+    commit key before any file is written. A round-1 dropDuplicates
+    here compiled to SortAggregate over wide token rows on EVERY
+    delta-bucket read — the exact plan the write path paid to remove."""
     allc = base.unionByName(deltas).withColumn(
         "_mord", F.col("_lsn") * 4 + F.col("_op_rank")
     )
@@ -77,7 +92,6 @@ def _resolve_mor(base: DataFrame, deltas: DataFrame, key: str = "doc_id") -> Dat
     resolved = (
         allc.join(maxes.hint("SHUFFLE_HASH"), key)
         .where(F.col("_mord") == F.col("_mmx"))
-        .dropDuplicates([key])
         .drop("_mord", "_mmx")
     )
     return resolved.where(~F.col("_is_delete"))

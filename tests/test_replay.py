@@ -164,3 +164,27 @@ def test_dedup_strategies_agree(spark, tmp_warehouse):
     pa_ = a.orderBy("doc_id").toPandas()
     for other in (b, c, d, e):
         assert pa_.equals(other.orderBy("doc_id").toPandas())
+
+
+def test_latest_events_join_dedups_exact_redelivery(spark):
+    """The join strategy's min-uid tie-break must keep exactly ONE copy
+    of a duplicate-delivered event (same key, lsn, op, content) without
+    a SortAggregate in the plan."""
+    from debezium_partial_snapshotter_spark.operators.dedup import latest_events
+
+    rows = [
+        ("r", "k1", 10, "true", "tokens/0000", ("k1", [1], 1, "s")),
+        ("u", "k1", 12, "false", "tokens/0000", ("k1", [2], 1, "s")),
+        ("u", "k1", 12, "false", "tokens/0000", ("k1", [2], 1, "s")),  # dup
+        ("u", "k2", 11, "false", "tokens/0000", ("k2", [3], 1, "s")),
+        ("u", "k2", 11, "false", "tokens/0000", ("k2", [3], 1, "s")),  # dup
+    ]
+    from debezium_partial_snapshotter_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    out = latest_events(df, strategy="join")
+    got = {r["doc_id"]: (r["lsn"], r["op"]) for r in out.collect()}
+    assert out.count() == 2
+    assert got == {"k1": (12, "u"), "k2": (11, "u")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan

@@ -205,12 +205,30 @@ def apply_batch(
     )
 
     obs = Observation()
+
+    def _obs_get(o):
+        """Observation metrics can be unavailable when AQE folds the
+        observed subtree away (seen on Spark 4.1 when a delete-only
+        batch empties its buckets: the write plan propagates an empty
+        relation and Observation.get dies in toPyRow). Return None and
+        let callers fall back to an explicit recount."""
+        try:
+            return o.get
+        except Exception:
+            return None
+
     validate = None
     if not tie_guard:
         # winner rows observed during the write must equal the distinct
         # key count; checked AFTER the data files land but BEFORE the
         # manifest swap — a detected tie abandons the commit dir.
-        validate = lambda: obs_pre.get["n_rows"] == obs_keys.get["n_keys"]  # noqa: E731
+        def validate():
+            pre, keys = _obs_get(obs_pre), _obs_get(obs_keys)
+            if pre is not None and keys is not None:
+                return pre["n_rows"] == keys["n_keys"]
+            # metrics lost to plan folding: recount explicitly (one
+            # extra job, edge case only — never the hot path)
+            return winners.count() == maxes.count()
 
     # ---- 5. atomic commit (data + schema + commit key + watermark)
     wm_kwargs = (
@@ -279,6 +297,7 @@ def apply_batch(
             _merge_retries=_merge_retries,
         )
     wall = time.time() - t0
+    live = _obs_get(obs) if applied else None
     return {
         "applied": applied,
         "affected_buckets": affected,
@@ -286,7 +305,7 @@ def apply_batch(
         "batch_keys": n_events,
         "watermark_lsn": batch_watermark,
         "schema_evolved": evolved,
-        "rows_live": obs.get.get("rows_live") if applied else None,
+        "rows_live": live.get("rows_live") if live is not None else None,
         "wall_ms": int(wall * 1000),
     }
 

@@ -1,34 +1,69 @@
 """IcebergTable — the production sink adapter (SURVEY.md §7).
 
-The operator layer (``apply_batch``/runner) talks to a minimal table
-contract: ``schema() / read(buckets) / committed_keys() /
-replace_buckets() / watermark_lsn()``. ``LakeTable`` implements it on a
-plain filesystem for this sandbox; this adapter implements the same
-contract on Apache Iceberg for real clusters, where:
+``apply_batch`` / ``PartialIngestRunner`` talk to a sink contract —
+``schema() / num_buckets / bucket_key / read(buckets, version) /
+committed_keys() / replace_buckets() / watermark_lsn() / snapshot_lsn()
+/ current_version() / delta_stats() / compact()`` — that ``LakeTable``
+implements on a plain filesystem. This adapter implements the SAME
+contract on Apache Iceberg for real clusters.
 
-- bucketed CoW        -> ``MERGE INTO`` on a table partitioned by
-                         ``bucket(N, doc_id)`` (Iceberg prunes by the
-                         bucket transform natively);
-- atomic manifest swap-> Iceberg's optimistic snapshot commit;
-- commit keys         -> snapshot summary properties
-                         (``snapshot.summary['dps.commit-key']``),
-                         scanned for idempotence on replay;
-- schema evolution    -> ``ALTER TABLE ADD COLUMN`` / type widening in
-                         the same transaction boundary as the MERGE.
+Key design points (each fixing a round-1 defect):
+
+- **Commit key rides the data commit.** The exactly-once marker is
+  written as a *snapshot summary property* on the SAME Iceberg commit
+  as the data, via the documented write option
+  ``snapshot-property.<key>`` (Iceberg Spark write options; the Java
+  equivalent is ``CommitMetadata.withCommitProperties``). A crash can
+  therefore never land data without its key or vice versa, and
+  ``committed_keys()`` reads back the exact property the writer sets —
+  round 1 wrote a table property in a separate transaction and read a
+  summary key that was never written (ADVICE r1).
+- **Engine-aligned partitioning.** The table is identity-partitioned by
+  the engine's own ``_bucket`` column (md5-based ``bucket_id``), NOT by
+  Iceberg's murmur3 ``bucket(N, key)`` transform — the two hash
+  differently, and pruning must agree with the tracker's notion of a
+  partition. ``replace_buckets`` overwrites by ``_bucket IN (...)``,
+  which Iceberg turns into a partition-scoped atomic overwrite.
+- **Watermarks in snapshot summaries.** ``dps.watermark-lsn`` /
+  ``dps.snapshot-lsn`` ride each commit; the accessors take the max
+  over the snapshot log, mirroring LakeTable's manifest max-merge.
+- **Concurrency.** Iceberg's own optimistic commit protocol subsumes
+  LakeTable's ``read_version``/``touched`` machinery: with
+  ``write.*.isolation-level=serializable`` an overwrite-by-filter
+  validates that no concurrent commit added/deleted files matching the
+  filter since the writer's snapshot and aborts with a commit
+  exception, which ``apply_batch`` already catches and re-merges (it is
+  raised here as ``CommitConflict``).
+- **No client-side MoR.** ``append_deltas`` raises: Iceberg v2 performs
+  merge-on-read natively (position/equality deletes) under the SAME
+  ``replace_buckets`` API when the table property
+  ``write.merge.mode=merge-on-read`` is set — an engine-side delta
+  layer on top would duplicate it. ``delta_stats`` reports zero so the
+  runner never schedules engine-side compaction; ``compact()`` maps to
+  the ``rewrite_data_files`` procedure.
 
 Requires ``org.apache.iceberg:iceberg-spark-runtime`` on the classpath
-(``spark.jars.packages``) and a configured catalog. This container
-ships neither, so ``is_available`` gates everything and the class
-raises a clear error instead of failing mid-pipeline.
+and a configured catalog. This container ships neither, so
+``is_available`` gates everything; tests/test_sink_contract.py runs the
+shared contract suite against LakeTable always and against Iceberg when
+available.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from debezium_partial_snapshotter_spark.plans.lake import CommitConflict
+
+COMMIT_KEY_PROP = "dps.commit-key"
+WATERMARK_PROP = "dps.watermark-lsn"
+SNAPSHOT_LSN_PROP = "dps.snapshot-lsn"
 
 
 def is_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is usable in this session."""
+    """True when the Iceberg runtime is usable in this session."""
     try:
         jvm = spark.sparkContext._jvm
         jvm.java.lang.Class.forName("org.apache.iceberg.Table")
@@ -37,20 +72,15 @@ def is_available(spark: SparkSession) -> bool:
         return False
 
 
-MERGE_SQL = """
-MERGE INTO {table} t
-USING winners s
-ON t.doc_id = s.doc_id
-WHEN MATCHED AND s._is_delete THEN DELETE
-WHEN MATCHED THEN UPDATE SET *
-WHEN NOT MATCHED AND NOT s._is_delete THEN INSERT *
-"""
+def _sql_type(dt) -> str:
+    return dt.simpleString()
 
 
 class IcebergTable:
-    """Same contract as LakeTable, backed by an Iceberg catalog table."""
+    """Same sink contract as LakeTable, backed by an Iceberg catalog
+    table identity-partitioned by the engine's ``_bucket`` column."""
 
-    def __init__(self, spark: SparkSession, identifier: str, num_buckets: int = 32):
+    def __init__(self, spark: SparkSession, identifier: str):
         if not is_available(spark):
             raise NotImplementedError(
                 "Iceberg runtime jar is not on the classpath in this "
@@ -59,55 +89,216 @@ class IcebergTable:
             )
         self.spark = spark
         self.identifier = identifier
-        self._num_buckets = num_buckets
 
+    # ---------------------------------------------------------------- DDL
     @classmethod
     def create(
         cls,
         spark: SparkSession,
         identifier: str,
-        schema_ddl: str,
+        schema: StructType,
         num_buckets: int = 32,
         bucket_key: str = "doc_id",
+        if_not_exists: bool = True,
     ) -> "IcebergTable":
+        cols = ", ".join(f"{f.name} {_sql_type(f.dataType)}" for f in schema.fields)
+        ine = "IF NOT EXISTS " if if_not_exists else ""
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {identifier} ({schema_ddl}) "
-            f"USING iceberg PARTITIONED BY (bucket({num_buckets}, {bucket_key})) "
-            "TBLPROPERTIES ('write.merge.mode'='copy-on-write', "
-            "'format-version'='2')"
+            f"CREATE TABLE {ine}{identifier} ({cols}, _bucket INT) "
+            "USING iceberg PARTITIONED BY (_bucket) "
+            "TBLPROPERTIES ("
+            "  'format-version'='2',"
+            "  'write.merge.mode'='copy-on-write',"
+            "  'write.update.isolation-level'='serializable',"
+            "  'write.delete.isolation-level'='serializable',"
+            f" 'dps.num-buckets'='{int(num_buckets)}',"
+            f" 'dps.bucket-key'='{bucket_key}')"
         )
-        return cls(spark, identifier, num_buckets)
+        return cls(spark, identifier)
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.identifier)
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.identifier}")
+
+    # ---------------------------------------------------------- properties
+    def _props(self) -> dict:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        return {r["key"]: r["value"] for r in rows}
 
     @property
     def num_buckets(self) -> int:
-        return self._num_buckets
+        return int(self._props()["dps.num-buckets"])
 
-    def read(self, spark: SparkSession, buckets=None, version=None) -> DataFrame:
-        df = spark.read.table(self.identifier)
-        if buckets is not None:
-            from debezium_partial_snapshotter_spark.functions import bucket_id
-            from pyspark.sql import functions as F
+    @property
+    def bucket_key(self) -> str:
+        return self._props().get("dps.bucket-key", "doc_id")
 
-            df = df.where(
-                bucket_id(F.col("doc_id"), self._num_buckets).isin(list(buckets))
-            )
-        return df
+    def schema(self, version: int | None = None) -> StructType:
+        df = (
+            self.spark.read.option("snapshot-id", version).table(self.identifier)
+            if version is not None
+            else self.spark.read.table(self.identifier)
+        )
+        return StructType([f for f in df.schema.fields if f.name != "_bucket"])
+
+    def current_version(self) -> int:
+        """Latest snapshot id (0 for an empty, never-written table)."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0]["snapshot_id"]) if rows else 0
+
+    def _summary_values(self, prop: str) -> list[str]:
+        rows = self.spark.sql(
+            f"SELECT summary['{prop}'] AS v FROM {self.identifier}.snapshots"
+        ).collect()
+        return [r["v"] for r in rows if r["v"] is not None]
 
     def committed_keys(self) -> set[str]:
-        rows = self.spark.sql(
-            f"SELECT summary['dps.commit-key'] AS k FROM {self.identifier}.snapshots"
-        ).collect()
-        return {r["k"] for r in rows if r["k"]}
+        return set(self._summary_values(COMMIT_KEY_PROP))
 
-    def merge_winners(self, winners: DataFrame, commit_key: str | None) -> bool:
-        """MERGE the deduped winner set (must carry _is_delete)."""
+    def watermark_lsn(self) -> int:
+        vs = self._summary_values(WATERMARK_PROP)
+        return max((int(v) for v in vs), default=-1)
+
+    def snapshot_lsn(self) -> int:
+        vs = self._summary_values(SNAPSHOT_LSN_PROP)
+        return max((int(v) for v in vs), default=-1)
+
+    # --------------------------------------------------------------- read
+    def read(
+        self,
+        spark: SparkSession,
+        buckets=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        reader = spark.read
+        if version is not None:
+            reader = reader.option("snapshot-id", version)
+        df = reader.table(self.identifier)
+        if buckets is not None:
+            # identity partition column => Iceberg prunes to exactly the
+            # claimed partitions, same as LakeTable's file-list pruning
+            df = df.where(F.col("_bucket").isin([int(b) for b in buckets]))
+        return df.drop("_bucket")
+
+    # ------------------------------------------------------------- commit
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        affected_buckets: list[int],
+        commit_key: str | None = None,
+        new_schema: StructType | None = None,
+        watermark_lsn: int | None = None,
+        snapshot_lsn: int | None = None,
+        max_retries: int = 5,
+        validate=None,
+        expected_version: int | None = None,
+        read_version: int | None = None,
+    ) -> bool | str:
+        """Atomic overwrite of the affected partitions: one Iceberg
+        commit carrying data + commit key + watermark summary props.
+
+        ``read_version``/``expected_version`` are accepted for contract
+        parity but enforced by Iceberg itself: serializable isolation
+        validates that no concurrent commit touched files matching the
+        overwrite filter since the writer's base snapshot and aborts
+        otherwise (surfaced as CommitConflict so apply_batch re-merges).
+
+        ``validate`` runs AFTER the commit (Iceberg's write+commit is a
+        single atomic call, so there is no between-write-and-swap
+        window); a failed validation rolls back to the pre-commit
+        snapshot and returns "invalid" — same caller-visible outcome as
+        LakeTable's abandoned commit dir.
+        """
         if commit_key is not None and commit_key in self.committed_keys():
             return False
-        winners.createOrReplaceTempView("winners")
-        self.spark.sql(MERGE_SQL.format(table=self.identifier))
+        if new_schema is not None:
+            self._evolve_schema(new_schema)
+        pre = self.current_version()
+
+        writer = df.writeTo(self.identifier)
         if commit_key is not None:
-            self.spark.sql(
-                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-                f"('dps.last-commit-key'='{commit_key}')"
+            writer = writer.option(f"snapshot-property.{COMMIT_KEY_PROP}", commit_key)
+        if watermark_lsn is not None:
+            writer = writer.option(
+                f"snapshot-property.{WATERMARK_PROP}",
+                str(max(watermark_lsn, self.watermark_lsn())),
             )
+        if snapshot_lsn is not None:
+            writer = writer.option(
+                f"snapshot-property.{SNAPSHOT_LSN_PROP}",
+                str(max(snapshot_lsn, self.snapshot_lsn())),
+            )
+        cond = F.col("_bucket").isin([int(b) for b in affected_buckets])
+        try:
+            writer.overwrite(cond)
+        except Exception as e:  # Iceberg validation / commit failure
+            if "conflict" in str(e).lower() or "commit" in str(e).lower():
+                raise CommitConflict(str(e)) from e
+            raise
+
+        if validate is not None and not validate():
+            self.spark.sql(
+                f"CALL {self._catalog()}.system.rollback_to_snapshot"
+                f"('{self._table_path()}', {pre})"
+            )
+            return "invalid"
         return True
+
+    def _catalog(self) -> str:
+        return self.identifier.split(".", 1)[0]
+
+    def _table_path(self) -> str:
+        return self.identifier.split(".", 1)[1]
+
+    def _evolve_schema(self, new_schema: StructType) -> None:
+        """Additive evolution: ADD COLUMN for unseen fields, ALTER TYPE
+        for widenings — Iceberg validates the widening is legal."""
+        cur = {f.name: f for f in self.schema().fields}
+        for f in new_schema.fields:
+            if f.name not in cur:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} "
+                    f"ADD COLUMN {f.name} {_sql_type(f.dataType)}"
+                )
+            elif cur[f.name].dataType != f.dataType:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} "
+                    f"ALTER COLUMN {f.name} TYPE {_sql_type(f.dataType)}"
+                )
+
+    def append_deltas(self, *a, **kw):
+        raise NotImplementedError(
+            "engine-side MoR deltas are not layered on Iceberg: set "
+            "'write.merge.mode'='merge-on-read' on the table and keep "
+            "write_mode='cow' in the engine — Iceberg then writes "
+            "position/equality deletes natively under the same "
+            "replace_buckets call."
+        )
+
+    def delta_stats(self) -> dict:
+        return {"buckets_with_deltas": [], "delta_files": 0}
+
+    def compact(self, spark: SparkSession, min_files: int = 2, commit_key=None) -> dict:
+        spark.sql(
+            f"CALL {self._catalog()}.system.rewrite_data_files"
+            f"(table => '{self._table_path()}')"
+        )
+        return {"compacted_buckets": "iceberg:rewrite_data_files", "applied": True}
+
+    # ------------------------------------------------------------ utility
+    def overwrite(self, df: DataFrame, new_schema: StructType | None = None) -> None:
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        if new_schema is not None:
+            self._evolve_schema(new_schema)
+        nb = self.num_buckets
+        staged = df.withColumn("_bucket", bucket_id(F.col(self.bucket_key), nb))
+        self.replace_buckets(staged, affected_buckets=list(range(nb)))
+
+    def to_pandas(self, spark: SparkSession):
+        return self.read(spark).toPandas()

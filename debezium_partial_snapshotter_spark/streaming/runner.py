@@ -55,7 +55,12 @@ class PartialIngestRunner:
         cfg: PipelineConfig,
         source: ParquetWalSource,
         payload_schema=TOKENS_SCHEMA,
+        table=None,
     ):
+        """``table`` swaps the sink: any object implementing the
+        LakeTable contract (tests/test_sink_contract.py pins it) —
+        e.g. plans.iceberg.IcebergTable on a real cluster. Default:
+        a LakeTable under cfg.target_path."""
         self.spark = spark
         self.cfg = cfg
         self.source = source
@@ -67,7 +72,7 @@ class PartialIngestRunner:
             not tracker_existed
             or not self.tracker.connector_is_tracked(cfg.pipeline_id)
         )
-        self.table = empty_table_for(
+        self.table = table if table is not None else empty_table_for(
             cfg.target_path, payload_schema, num_buckets=cfg.num_buckets
         )
         self.metrics = AppendLog(cfg.metrics_path, METRICS_ARROW)

@@ -534,7 +534,8 @@ WITH words AS (
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
   FROM words WHERE len(ws) >= 3
 )
-SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS mh
+SELECT doc_id, seed,
+       min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT)) AS mh
 FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(4)) seeds
 GROUP BY doc_id, seed
 """
@@ -555,12 +556,13 @@ WITH words AS (
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
   FROM words WHERE len(ws) >= 3
 ), sig AS (
-  SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS mh
+  SELECT doc_id, seed,
+         min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT)) AS mh
   FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(8)) seeds
   GROUP BY doc_id, seed
 ), banded AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(mh, '|' ORDER BY mh)) AS bh
+         CAST(('0x' || substring(md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY mh)),1,15)) AS BIGINT) AS bh
   FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -570,29 +572,45 @@ FROM banded a JOIN banded b
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """LSH-gated exact Jaccard (unigram shingles; candidates from
+    MinHash bands k=8, bands=8 — recall 1-(1-s)^8). The oracle mirrors
+    the gate exactly, so approximation is part of the pinned contract."""
     return dd.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=1
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=1, k=8, bands=8
     ).select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
 
 
 SQL_JACCARD_PAIRS = """
-WITH sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS shingle
+WITH words AS (
+  SELECT doc_id,
+         list_filter(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                     w -> length(w) > 0) AS sh
   FROM documents
-), sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, seed,
+         min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT)) AS mh
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM words) s
+  CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(8)) seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  -- one signature row per band: the band hash IS the minhash value
+  SELECT doc_id, seed AS band, mh AS bh FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(wa.sh, wb.sh)) AS inter,
+         len(wa.sh) AS sz_a, len(wb.sh) AS sz_b
+  FROM cand
+  JOIN words wa ON wa.doc_id = doc_a
+  JOIN words wb ON wb.doc_id = doc_b
 )
-SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       round(inter / (sz_a + sz_b - inter), 4) AS jaccard
+FROM verified
+WHERE round(inter / (sz_a + sz_b - inter), 4) >= 0.5
 """
 
 

@@ -15,10 +15,11 @@ epoch + tail epochs, exactly-once commits). scripts/scaling_bench.py
 runs THIS script at two parallelism levels for the scaling-efficiency
 evidence (BENCH/BASELINE.md).
 
-Note: `jaccard_pairs` is correctness-checked at sf0.01 by the driver but
-excluded from the timed set — the synthetic corpus has a ~40-word
-vocabulary, so unigram candidate generation degenerates to a near-complete
-pair graph at sf0.1 (documented in BENCH/BASELINE.md).
+Note: `jaccard_pairs` re-entered the timed set in round 2 (it is now
+LSH-gated + set-canonicalized). On this synthetic corpus (~40-word
+vocabulary) its TRUE output is ~8.9M near-dup pairs at sf0.1, so it
+dominates wall time by output size alone; `core_sec` reports the
+round-1-comparable subtotal without it (BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "jaccard_pairs",
     "simhash",
     "token_count",
     "quality_score",
@@ -200,6 +202,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        # round-1-comparable subtotal: jaccard_pairs joined the timed set
+        # in round 2 and its output is inherently ~8.9M rows at sf0.1
+        "core_sec": round(total - qtimes.get("jaccard_pairs", 0.0), 3),
         "sf": sf,
         "parallelism": CPUS,
         **replay,

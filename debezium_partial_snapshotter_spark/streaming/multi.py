@@ -1,0 +1,264 @@
+"""MultiTableIngestRunner — several source tables, ONE pipeline.
+
+The reference connector coordinates SEVERAL tables per connector —
+nearly every reference test uses two (``test_data`` +
+``another_test_data``, ``PartialSnapshotterTest.java:44-46``), and
+``testFilterOneTablePartialSnapshot`` (:82-102) is specifically about
+snapshotting one table while skipping another. Round 1 hard-wired one
+target table per runner; this runner generalizes:
+
+- **one tracker, one claim**: partitions of ALL tables are claimed in a
+  single atomic tracker transition per epoch (the tracker was already
+  keyed by ``table/bucket``), mirroring the reference's single
+  transaction over per-table rows.
+- **one shared epoch, per-table commit keys**: every epoch stamps key
+  ``{pipeline}:{phase}:{epoch}:{table}`` into each table's manifest. A
+  crash after committing table A but before table B resumes the SAME
+  epoch and skips A idempotently (duplicate key) while B applies.
+- **one snapshot consistency point**: the epoch's snapshot watermark W
+  is shared across tables (max over sources' WAL heads and every
+  table's applied/snapshot marks) — the Spark analog of one exported
+  snapshot covering all tables of a connector.
+- **shared WAL, routed by table**: sources may share a change-event
+  feed; events are routed to their table by the ``table_partition``
+  prefix, and each table keeps its own ``watermark_lsn`` replay filter.
+
+Per-table lakes stay independently committable/readable — a user of
+table A never waits on table B's files.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_partial_snapshotter_spark.config import PipelineConfig
+from debezium_partial_snapshotter_spark.operators.upsert import (
+    apply_batch,
+    empty_table_for,
+)
+from debezium_partial_snapshotter_spark.plans.metrics import (
+    COMMIT_LOG_ARROW,
+    METRICS_ARROW,
+    AppendLog,
+)
+from debezium_partial_snapshotter_spark.plans.tracker import SnapshotTracker
+from debezium_partial_snapshotter_spark.schemas import TOKENS_SCHEMA
+
+
+class MultiTableIngestRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        sources: dict,  # table name -> source (snapshot/wal_batch/current_lsn)
+        payload_schemas=None,  # table name -> StructType, or one for all
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.sources = dict(sources)
+        if payload_schemas is None:
+            payload_schemas = {t: TOKENS_SCHEMA for t in sources}
+        elif not isinstance(payload_schemas, dict):
+            payload_schemas = {t: payload_schemas for t in sources}
+        tracker_existed = SnapshotTracker(cfg.tracker_path).exists()
+        self.tracker = SnapshotTracker.create(cfg.tracker_path)
+        self.record_only = cfg.skip_existing_connector and (
+            not tracker_existed
+            or not self.tracker.connector_is_tracked(cfg.pipeline_id)
+        )
+        self.tables = {
+            t: empty_table_for(
+                f"{cfg.warehouse}/{t}", payload_schemas[t], num_buckets=cfg.num_buckets
+            )
+            for t in self.sources
+        }
+        self.metrics = AppendLog(f"{cfg.warehouse}/_metrics/__multi__", METRICS_ARROW)
+        self.commit_log = AppendLog(
+            f"{cfg.warehouse}/_commit_log/__multi__", COMMIT_LOG_ARROW
+        )
+        self._epoch = self._resume_epoch()
+
+    # ------------------------------------------------------------ helpers
+    def _resume_epoch(self) -> int:
+        """Max over the commit log AND every table's committed keys
+        (same crash-window rule as the single-table runner)."""
+        df = self.commit_log.read_pandas()
+        mine = df[df["pipeline_id"] == self.cfg.pipeline_id]
+        best = int(mine["checkpoint_epoch"].max()) if len(mine) else -1
+        prefix = f"{self.cfg.pipeline_id}:"
+        for table in self.tables.values():
+            for key in table.committed_keys():
+                parts = key.split(":")
+                if (
+                    key.startswith(prefix)
+                    and len(parts) == 4
+                    and parts[1] in ("catchup", "snapshot", "tail")
+                ):
+                    try:
+                        best = max(best, int(parts[2]))
+                    except ValueError:
+                        pass
+        return best + 1
+
+    def discovered_partitions(self) -> list[str]:
+        parts = [
+            f"{t}/{b:04d}"
+            for t in sorted(self.sources)
+            for b in range(self.cfg.num_buckets)
+        ]
+        if self.cfg.partition_include:
+            inc = re.compile(self.cfg.partition_include)
+            parts = [p for p in parts if inc.search(p)]
+        if self.cfg.partition_exclude:
+            exc = re.compile(self.cfg.partition_exclude)
+            parts = [p for p in parts if not exc.search(p)]
+        return parts
+
+    def _route(self, events: DataFrame, table: str) -> DataFrame:
+        """Shared-WAL routing: only this table's change events."""
+        return events.where(
+            F.col("table_partition").startswith(table + "/")
+        )
+
+    def _key(self, phase: str, table: str) -> str:
+        return f"{self.cfg.pipeline_id}:{phase}:{self._epoch}:{table}"
+
+    def _record(self, phase: str, table: str, stats: dict) -> None:
+        wall = max(stats.get("wall_ms") or 1, 1)
+        n = stats.get("batch_keys")
+        self.metrics.append(
+            [
+                {
+                    "epoch": self._epoch,
+                    "partition": f"{table}/*",
+                    "phase": phase,
+                    "rows_read": n,
+                    "rows_applied": stats.get("rows_live"),
+                    "events_per_sec": (n or 0) / (wall / 1000.0),
+                    "wall_ms": wall,
+                    "watermark_lsn": stats.get("watermark_lsn"),
+                }
+            ]
+        )
+        self.commit_log.append(
+            [
+                {
+                    "pipeline_id": self.cfg.pipeline_id,
+                    "checkpoint_epoch": self._epoch,
+                    "commit_key": stats.get("commit_key"),
+                    "phase": phase,
+                    "batch_keys": n,
+                    "watermark_lsn": stats.get("watermark_lsn"),
+                    "table_version": self.tables[table].current_version(),
+                    "committed_at": time.time(),
+                }
+            ]
+        )
+
+    # ------------------------------------------------------------- phases
+    def _wal_phase(self, phase: str) -> dict:
+        out, any_applied = {}, False
+        for t, src in sorted(self.sources.items()):
+            table = self.tables[t]
+            wm = table.watermark_lsn()
+            events = self._route(src.wal_batch(), t).where(F.col("lsn") > F.lit(wm))
+            key = self._key(phase, t)
+            if key in table.committed_keys():
+                out[t] = {"applied": False, "reason": "duplicate_commit_key"}
+                continue
+            stats = apply_batch(
+                table,
+                events,
+                commit_key=key,
+                dedup_strategy=self.cfg.dedup_strategy,
+                salt_buckets=self.cfg.salt_buckets,
+                write_mode=self.cfg.write_mode,
+            )
+            stats["commit_key"] = key
+            if stats.get("applied"):
+                any_applied = True
+                self._record(phase, t, stats)
+            out[t] = stats
+        if any_applied:
+            self._epoch += 1
+        return out
+
+    def catchup(self) -> dict:
+        return self._wal_phase("catchup")
+
+    def tail_batch(self) -> dict:
+        return self._wal_phase("tail")
+
+    def snapshot_epoch(self) -> dict:
+        epoch = self._epoch
+        discovered = self.discovered_partitions()
+        # ONE consistency point for all tables in the epoch (reference:
+        # a connector's snapshot covers all its tables at one position)
+        watermark = max(
+            [src.current_lsn() for src in self.sources.values()]
+            + [t.watermark_lsn() + 1 for t in self.tables.values()]
+            + [t.snapshot_lsn() + 1 for t in self.tables.values()]
+        )
+        try:
+            claimed = self.tracker.claim(
+                discovered,
+                self.cfg.pipeline_id,
+                record_only=self.record_only,
+                watermark_lsn=watermark,
+                epoch=epoch,
+            )
+        except Exception:
+            if self.cfg.on_tracker_error == "fail":
+                raise
+            if self.cfg.on_tracker_error == "snapshot":
+                claimed = discovered
+            else:
+                return {"applied": False, "reason": "tracker_error_skip"}
+        if not claimed:
+            self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
+            return {"applied": False, "reason": "nothing_claimed", "claimed": []}
+
+        by_table: dict[str, list[int]] = {}
+        for p in claimed:
+            t, b = p.rsplit("/", 1)
+            by_table.setdefault(t, []).append(int(b))
+
+        out, any_applied = {}, False
+        for t, buckets in sorted(by_table.items()):
+            table = self.tables[t]
+            key = self._key("snapshot", t)
+            if key in table.committed_keys():
+                out[t] = {"applied": False, "reason": "duplicate_commit_key"}
+                continue
+            events = self.sources[t].snapshot(sorted(buckets), watermark)
+            stats = apply_batch(
+                table,
+                events,
+                commit_key=key,
+                dedup_strategy=self.cfg.dedup_strategy,
+                salt_buckets=self.cfg.salt_buckets,
+                write_mode=self.cfg.write_mode,
+                watermark_kind="snapshot",
+            )
+            stats["commit_key"] = key
+            if stats.get("applied"):
+                any_applied = True
+                self._record("snapshot", t, stats)
+            out[t] = stats
+        self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
+        if any_applied:
+            self._epoch += 1
+        return {
+            "applied": any_applied,
+            "claimed": claimed,
+            "snapshot_watermark": watermark,
+            "tables": out,
+        }
+
+    # ---------------------------------------------------------- lifecycle
+    def start(self) -> dict:
+        return {"catchup": self.catchup(), "snapshot": self.snapshot_epoch()}

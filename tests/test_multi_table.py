@@ -1,0 +1,144 @@
+"""Multi-table pipelines (reference: every connector coordinates
+several tables — PartialSnapshotterTest.java:44-46 uses test_data +
+another_test_data; :82-102 snapshots one table while skipping another).
+
+One tracker, one atomic claim, one shared snapshot consistency point,
+per-table commit keys ``pid:phase:epoch:table``, shared WAL routed by
+the table_partition prefix.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from debezium_partial_snapshotter_spark.config import PipelineConfig
+from debezium_partial_snapshotter_spark.sources.eventlog import (
+    EventLogSpec,
+    generate_change_log,
+    generate_initial_state,
+    oracle_apply,
+    snapshot_read_events,
+)
+from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+from debezium_partial_snapshotter_spark.streaming.multi import (
+    MultiTableIngestRunner,
+)
+from tests.test_replay import assert_state_matches
+from tests.test_tracker import write_state
+
+NB = 4
+TABLES = {"alpha": (11, 1_000_000), "beta": (22, 5_000_000)}
+
+
+def _env(spark, wh):
+    """Two source tables sharing ONE WAL feed (interleaved segments)."""
+    log_dir = os.path.join(wh, "source", "wal")
+    os.makedirs(log_dir)
+    specs, states, sources, wals = {}, {}, {}, {}
+    for t, (seed, lsn0) in TABLES.items():
+        spec = EventLogSpec(
+            n_docs=50, n_events=200, n_segments=2, seed=seed,
+            num_buckets=NB, table=t, start_lsn=lsn0,
+        )
+        specs[t] = spec
+        states[t] = generate_initial_state(spec)
+        state_path = os.path.join(wh, "source", f"{t}.parquet")
+        write_state(state_path, states[t])
+        sources[t] = ParquetWalSource(
+            spark, state_path, log_dir, table=t, num_buckets=NB
+        )
+        wals[t] = generate_change_log(spec)  # in-memory; written on demand
+
+    def write_shared_wal():
+        # interleave: each shared segment carries BOTH tables' events
+        for i in range(2):
+            seg = pa.concat_tables([wals[t][i] for t in TABLES])
+            pq.write_table(seg, os.path.join(log_dir, f"seg-{i:05d}.parquet"))
+
+    return specs, states, sources, write_shared_wal
+
+
+def _runner(spark, wh, sources, **cfg_kw):
+    cfg = PipelineConfig(
+        pipeline_id="p1",
+        warehouse=os.path.join(wh, "wh"),
+        num_buckets=NB,
+        tracker_path_override=os.path.join(wh, "wh", "tracker"),
+        **cfg_kw,
+    )
+    return MultiTableIngestRunner(spark, cfg, sources), cfg
+
+
+def test_two_tables_shared_wal_full_flow(spark, tmp_warehouse):
+    specs, states, sources, write_shared_wal = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(spark, tmp_warehouse, sources)
+
+    out = runner.start()
+    assert out["snapshot"]["applied"]
+    # one atomic claim covered BOTH tables' partitions
+    claimed_tables = {p.rsplit("/", 1)[0] for p in out["snapshot"]["claimed"]}
+    assert claimed_tables == {"alpha", "beta"}
+
+    write_shared_wal()
+    tail = runner.tail_batch()
+    for t in TABLES:
+        assert tail[t]["applied"], tail[t]
+
+    # per-table final state == per-table oracle (routing was exact)
+    for t, spec in specs.items():
+        expected = oracle_apply(
+            [snapshot_read_events(states[t], spec.start_lsn, spec)]
+            + generate_change_log(spec)
+        )
+        assert_state_matches(spark, runner.tables[t], expected)
+
+    # shared-epoch, per-table commit keys
+    keys_by_table = {t: runner.tables[t].committed_keys() for t in TABLES}
+    snap_epoch = next(
+        int(k.split(":")[2])
+        for k in keys_by_table["alpha"]
+        if k.startswith("p1:snapshot:")
+    )
+    for t in TABLES:
+        keys = keys_by_table[t]
+        assert f"p1:snapshot:{snap_epoch}:{t}" in keys
+        assert f"p1:tail:{snap_epoch + 1}:{t}" in keys
+        # WAL routing kept each table's watermark in its own lsn range
+        assert runner.tables[t].watermark_lsn() == max(
+            r["lsn"] for tab in generate_change_log(specs[t]) for r in tab.to_pylist()
+        )
+
+    # redelivery of the whole tail is a per-table idempotent no-op
+    again = runner.tail_batch()
+    for t in TABLES:
+        assert not again[t]["applied"]
+
+
+def test_snapshot_one_table_skip_other(spark, tmp_warehouse):
+    """reference testFilterOneTablePartialSnapshot: pre-seeded
+    needs=false rows for one table exclude it from the claim set while
+    the other snapshots fully."""
+    specs, states, sources, _ = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(spark, tmp_warehouse, sources)
+    beta_parts = [f"beta/{b:04d}" for b in range(NB)]
+    runner.tracker.claim(beta_parts, cfg.pipeline_id, record_only=True)
+
+    out = runner.snapshot_epoch()
+    claimed_tables = {p.rsplit("/", 1)[0] for p in out["claimed"]}
+    assert claimed_tables == {"alpha"}
+    assert_state_matches(
+        spark, runner.tables["alpha"], {r["doc_id"]: r for r in states["alpha"]}
+    )
+    assert runner.tables["beta"].read(spark).count() == 0
+
+
+def test_exclude_regex_drops_whole_table(spark, tmp_warehouse):
+    specs, states, sources, _ = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(
+        spark, tmp_warehouse, sources, partition_exclude=r"^beta/"
+    )
+    assert all(p.startswith("alpha/") for p in runner.discovered_partitions())
+    out = runner.snapshot_epoch()
+    assert {p.rsplit("/", 1)[0] for p in out["claimed"]} == {"alpha"}
+    assert runner.tables["beta"].read(spark).count() == 0

@@ -43,6 +43,16 @@ from pyspark.sql.types import BooleanType, StructField, StructType
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
+#: Commit-key retention (SCALING.md: unbounded manifest growth). Keys
+#: are only ever re-presented by (a) the crashed-epoch retry — always
+#: the newest key — or (b) a stream batch redelivered after checkpoint
+#: loss, whose events the LSN watermark filter empties out BEFORE the
+#: key matters (apply_batch returns empty_batch). Keeping the most
+#: recent keys therefore preserves exactly-once while bounding the
+#: manifest; epoch resume parses max(epoch) which eviction of OLDER
+#: keys cannot change.
+MAX_COMMIT_KEYS = 512
+
 
 class CommitConflict(Exception):
     pass
@@ -349,8 +359,9 @@ class LakeTable:
                 "version": man["version"] + 1,
                 "parent": man["version"],
                 "deltas": {**man.get("deltas", {})},
-                "commit_keys": man["commit_keys"]
-                + ([commit_key] if commit_key else []),
+                "commit_keys": (
+                    man["commit_keys"] + ([commit_key] if commit_key else [])
+                )[-MAX_COMMIT_KEYS:],
                 "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }
@@ -456,8 +467,9 @@ class LakeTable:
                 "parent": man["version"],
                 "buckets": {**man["buckets"]},
                 "deltas": {**man.get("deltas", {})},
-                "commit_keys": man["commit_keys"]
-                + ([commit_key] if commit_key else []),
+                "commit_keys": (
+                    man["commit_keys"] + ([commit_key] if commit_key else [])
+                )[-MAX_COMMIT_KEYS:],
                 "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }

@@ -60,11 +60,19 @@ class ParquetWalSource:
         if buckets is not None:
             payload = payload.where(b.isin([int(x) for x in buckets]))
         after_fields = [f.name for f in payload.schema.fields]
+        # reference tags the FINAL snapshot row source.snapshot='last'
+        # (PartialSnapshotterTest.java:426-431). A distributed scan has
+        # no row order, so "last" = the max-doc_id row — deterministic,
+        # exactly one row, computed by a column-pruned pre-scan (cheaper
+        # than a window, which would shuffle the payload).
+        last_id = payload.agg(F.max("doc_id")).collect()[0][0]
         return payload.select(
             F.lit("r").alias("op"),
             F.col("doc_id"),
             F.lit(watermark_lsn).cast("long").alias("lsn"),
-            F.lit("true").alias("snapshot"),
+            F.when(F.col("doc_id") == F.lit(last_id), "last")
+            .otherwise("true")
+            .alias("snapshot"),
             table_partition(self.table, bucket_id(F.col("doc_id"), self.num_buckets)).alias(
                 "table_partition"
             ),

@@ -157,11 +157,28 @@ mor = {eff_med['mor']:.3f}.**
    read, compact at threshold) vs per-epoch CoW rewrite: +66% on top.
 4. generator: splittable row groups (32k rows) so scans parallelize.
 
-`jaccard_pairs` is correctness-checked by the driver at sf0.01 but kept
-out of the timed headline set: the synthetic corpus draws from a
-~40-word vocabulary, so unigram candidate generation degenerates into a
-near-complete pair graph at sf0.1 (quadratic by construction, not an
-engine property).
+## Round-2 engineering log
+
+5. MoR READ path: dropped the per-read dropDuplicates (SortAggregate
+   over wide token rows) — stored rows are tie-free by construction
+   (proof in plans/lake.py _resolve_mor); a delta-bucket read plan now
+   contains no sort at all (tests/test_mor.py pins it).
+6. MinHash family: signature values are 60-bit BIGINTs (md5 15-hex
+   prefix) instead of 32-char hex strings — ~6x fewer minhash shuffle
+   bytes (sf0.1: 7.6s -> 3.3s); band hashes BIGINT too.
+7. Replay-path scan pruning verified by formatted explain: the WAL
+   scan reads only (op, doc_id, lsn, after.{tokens,n_tok,source}) —
+   `snapshot`, `table_partition`, and even after.doc_id never leave
+   the parquet reader; the planning scan reads (op, doc_id, lsn) only.
+
+`jaccard_pairs` (round 2): re-engineered and in the timed bench set.
+Candidates from MinHash LSH bands over one representative per DISTINCT
+shingle set (dedup-before-neardup), exact array_intersect verify on
+candidate set-pairs, output-bound expansion to doc pairs; oracle
+mirrors the gate (99.91% recall vs exhaustive at sf0.01). On this
+corpus the true answer at sf0.1 is ~8.9M pairs, so the query is
+output-bound (~110s); `core_sec` in the bench JSON is the
+round-1-comparable subtotal without it.
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by scripts/scaling_final.py.
 """

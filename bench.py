@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "cosine_topk",
     "ivf_topk",
+    "embedding_near_dup",
     "multimodal_meta",
     "frame_sample",
 ]
@@ -202,9 +203,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
-        # round-1-comparable subtotal: jaccard_pairs joined the timed set
-        # in round 2 and its output is inherently ~8.9M rows at sf0.1
-        "core_sec": round(total - qtimes.get("jaccard_pairs", 0.0), 3),
+        # round-1-comparable subtotal: jaccard_pairs and
+        # embedding_near_dup joined the timed set in round 2 (jaccard's
+        # output is inherently ~8.9M rows at sf0.1)
+        "core_sec": round(
+            total
+            - qtimes.get("jaccard_pairs", 0.0)
+            - qtimes.get("embedding_near_dup", 0.0),
+            3,
+        ),
         "sf": sf,
         "parallelism": CPUS,
         **replay,

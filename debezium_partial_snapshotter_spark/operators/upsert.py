@@ -43,6 +43,12 @@ from debezium_partial_snapshotter_spark.operators.schema_evolution import (
 )
 from debezium_partial_snapshotter_spark.plans.lake import CommitConflict, LakeTable
 
+#: Diagnostic: how often commit validation had to recount because the
+#: Observation metrics were unavailable (should stay 0 outside the
+#: AQE-folded-empty-write edge case; a nonzero count on the hot path
+#: means epochs are paying a full re-merge).
+OBSERVATION_FALLBACKS = 0
+
 SYSTEM_FIELDS = [
     StructField("_lsn", LongType(), False),
     StructField("_op_rank", IntegerType(), False),
@@ -228,6 +234,8 @@ def apply_batch(
                 return pre["n_rows"] == keys["n_keys"]
             # metrics lost to plan folding: recount explicitly (one
             # extra job, edge case only — never the hot path)
+            global OBSERVATION_FALLBACKS
+            OBSERVATION_FALLBACKS += 1
             return winners.count() == maxes.count()
 
     # ---- 5. atomic commit (data + schema + commit key + watermark)

@@ -406,6 +406,7 @@ class LakeTable:
         validate=None,
         expected_version: int | None = None,
         read_version: int | None = None,
+        new_num_buckets: int | None = None,
     ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
@@ -480,6 +481,8 @@ class LakeTable:
                     new_man["buckets"].pop(b, None)  # bucket emptied
                 # a base replacement is fully resolved: deltas folded in
                 new_man["deltas"].pop(b, None)
+            if new_num_buckets is not None:
+                new_man["num_buckets"] = int(new_num_buckets)
             if new_schema is not None:
                 new_man["schema"] = json.loads(new_schema.json())
             if watermark_lsn is not None:
@@ -511,6 +514,52 @@ class LakeTable:
             affected_buckets=list(range(nb)),
             new_schema=new_schema,
         )
+
+    def rescale(
+        self,
+        spark: SparkSession,
+        new_num_buckets: int,
+        commit_key: str | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Bucket split/merge for table growth (SCALING.md future-work
+        item, landed round 2): rewrite the table into a new bucket
+        count in ONE atomic commit — data + new ``num_buckets`` + the
+        commit key swap together, CAS'd on the version the rewrite was
+        computed from (a concurrent commit retries the whole rewrite,
+        never silently drops it). MoR deltas are resolved and folded by
+        the read. Readers pinned to older versions keep the old layout;
+        the next claim() auto-registers the new partitions in the
+        tracker (stale rows for vanished buckets are never discovered
+        again). At 100 TB this is the escape hatch when buckets outgrow
+        executor memory: double num_buckets, one table-scan-sized job."""
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        for attempt in range(max_retries):
+            base_version = self.current_version()
+            old_nb = self.manifest(base_version)["num_buckets"]
+            key = self.manifest(base_version).get("bucket_key", "doc_id")
+            df = self.read(spark, version=base_version).withColumn(
+                "_bucket", bucket_id(F.col(key), new_num_buckets)
+            )
+            try:
+                applied = self.replace_buckets(
+                    df,
+                    affected_buckets=list(range(max(old_nb, new_num_buckets))),
+                    commit_key=commit_key,
+                    expected_version=base_version,
+                    new_num_buckets=new_num_buckets,
+                )
+                return {
+                    "applied": applied,
+                    "from_buckets": old_nb,
+                    "to_buckets": new_num_buckets,
+                }
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return {"applied": False}
 
     # ------------------------------------------------------------ utility
     def to_pandas(self, spark: SparkSession):

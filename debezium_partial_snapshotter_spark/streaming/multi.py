@@ -262,3 +262,57 @@ class MultiTableIngestRunner:
     # ---------------------------------------------------------- lifecycle
     def start(self) -> dict:
         return {"catchup": self.catchup(), "snapshot": self.snapshot_epoch()}
+
+    def stream(
+        self,
+        wal_stream_source: str | None = None,
+        process_all_available: bool = True,
+        timeout_sec: float | None = 120.0,
+    ):
+        """Structured Streaming tail over the SHARED change feed: one
+        readStream, each micro-batch routed per table inside
+        foreachBatch and applied with that table's watermark filter and
+        a per-table commit key ``pid:stream:{batch_id}:{table}`` —
+        exactly-once per table under checkpoint replay, same as the
+        single-table runner. ``wal_stream_source`` names which source's
+        log to stream (they share one feed; default: first table)."""
+        runner = self
+        t0 = wal_stream_source or sorted(self.sources)[0]
+
+        def handle(batch_df: DataFrame, batch_id: int):
+            any_applied = False
+            for t in sorted(runner.sources):
+                table = runner.tables[t]
+                wm = table.watermark_lsn()
+                events = runner._route(batch_df, t).where(F.col("lsn") > F.lit(wm))
+                key = f"{runner.cfg.pipeline_id}:stream:{batch_id}:{t}"
+                if key in table.committed_keys():
+                    continue
+                stats = apply_batch(
+                    table,
+                    events,
+                    commit_key=key,
+                    dedup_strategy=runner.cfg.dedup_strategy,
+                    salt_buckets=runner.cfg.salt_buckets,
+                    write_mode=runner.cfg.write_mode,
+                )
+                stats["commit_key"] = key
+                if stats.get("applied"):
+                    any_applied = True
+                    runner._record("tail", t, stats)
+            if any_applied:
+                runner._epoch += 1
+
+        q = (
+            self.sources[t0]
+            .wal_stream(self.cfg.max_files_per_trigger)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if process_all_available:
+            q.awaitTermination(timeout_sec)
+            if q.isActive:
+                q.stop()
+        return q

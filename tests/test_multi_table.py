@@ -142,3 +142,27 @@ def test_exclude_regex_drops_whole_table(spark, tmp_warehouse):
     out = runner.snapshot_epoch()
     assert {p.rsplit("/", 1)[0] for p in out["claimed"]} == {"alpha"}
     assert runner.tables["beta"].read(spark).count() == 0
+
+
+def test_multi_table_structured_stream(spark, tmp_warehouse):
+    """One readStream over the shared feed; foreachBatch routes per
+    table with per-table watermark filters and commit keys."""
+    specs, states, sources, write_shared_wal = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(spark, tmp_warehouse, sources)
+    runner.start()
+    write_shared_wal()
+    runner.stream(timeout_sec=120.0)
+
+    for t, spec in specs.items():
+        expected = oracle_apply(
+            [snapshot_read_events(states[t], spec.start_lsn, spec)]
+            + generate_change_log(spec)
+        )
+        assert_state_matches(spark, runner.tables[t], expected)
+        keys = runner.tables[t].committed_keys()
+        assert any(k.startswith("p1:stream:") and k.endswith(f":{t}") for k in keys)
+
+    # re-running the stream from the same checkpoint is a no-op
+    v = {t: runner.tables[t].current_version() for t in TABLES}
+    runner.stream(timeout_sec=120.0)
+    assert {t: runner.tables[t].current_version() for t in TABLES} == v

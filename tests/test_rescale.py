@@ -1,0 +1,91 @@
+"""Bucket split/merge (LakeTable.rescale) — the table-growth escape
+hatch: one atomic commit swaps data, num_buckets, and the commit key.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_partial_snapshotter_spark.functions import bucket_id_py
+from debezium_partial_snapshotter_spark.operators.upsert import (
+    apply_batch,
+    empty_table_for,
+)
+from debezium_partial_snapshotter_spark.schemas import (
+    CHANGE_EVENT_SCHEMA,
+    TOKENS_SCHEMA,
+)
+
+
+def _events(spark, rows):
+    data = [
+        (
+            op,
+            d,
+            lsn,
+            "false",
+            "tokens/0000",
+            None if op == "d" else (d, [lsn], 1, "s"),
+        )
+        for op, d, lsn in rows
+    ]
+    return spark.createDataFrame(data, CHANGE_EVENT_SCHEMA)
+
+
+def test_rescale_preserves_data_and_pruning(spark, tmp_warehouse):
+    t = empty_table_for(os.path.join(tmp_warehouse, "t"), TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 100 + i) for i in range(40)]
+    assert apply_batch(t, _events(spark, rows), commit_key="p:0")["applied"]
+    before = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+
+    out = t.rescale(spark, 8, commit_key="p:rescale:0")
+    assert out["applied"] is True and out["to_buckets"] == 8
+    assert t.num_buckets == 8
+    after = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert after == before
+
+    # pruning follows the NEW bucket function
+    b = bucket_id_py("k1", 8)
+    pruned = {r["doc_id"] for r in t.read(spark, buckets=[b]).collect()}
+    assert "k1" in pruned
+    assert all(bucket_id_py(d, 8) == b for d in pruned)
+
+    # the engine keeps applying with the new layout
+    assert apply_batch(
+        t, _events(spark, [("u", "k1", 999), ("d", "k2", 1000)]), commit_key="p:1"
+    )["applied"]
+    got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert got["k1"] == 999 and "k2" not in got
+
+    # rescale is idempotent under redelivery of its commit key
+    v = t.current_version()
+    assert t.rescale(spark, 8, commit_key="p:rescale:0")["applied"] is False
+    assert t.current_version() == v
+
+
+def test_rescale_folds_mor_deltas(spark, tmp_warehouse):
+    t = empty_table_for(os.path.join(tmp_warehouse, "t2"), TOKENS_SCHEMA, 4)
+    apply_batch(t, _events(spark, [("u", "a", 1), ("u", "b", 2)]), commit_key="x:0")
+    apply_batch(
+        t,
+        _events(spark, [("u", "a", 3), ("d", "b", 4)]),
+        commit_key="x:1",
+        write_mode="mor",
+    )
+    assert t.delta_stats()["delta_files"] > 0
+    t.rescale(spark, 2, commit_key="x:rescale")
+    assert t.num_buckets == 2
+    assert t.delta_stats()["delta_files"] == 0  # folded by the rewrite
+    got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert got == {"a": 3}  # winner kept, tombstone dropped
+
+
+def test_shrink_removes_stale_buckets(spark, tmp_warehouse):
+    t = empty_table_for(os.path.join(tmp_warehouse, "t3"), TOKENS_SCHEMA, 8)
+    rows = [("u", f"z{i}", 10 + i) for i in range(30)]
+    apply_batch(t, _events(spark, rows), commit_key="s:0")
+    t.rescale(spark, 4, commit_key="s:rescale")
+    man = t.manifest()
+    assert man["num_buckets"] == 4
+    assert all(int(b) < 4 for b in man["buckets"])  # buckets 4..7 gone
+    assert t.read(spark).count() == 30

@@ -167,7 +167,7 @@ mor = {eff_med['mor']:.3f}.**
    prefix) instead of 32-char hex strings — ~6x fewer minhash shuffle
    bytes (sf0.1: 7.6s -> 3.3s); band hashes BIGINT too.
 7. Replay-path scan pruning verified by formatted explain: the WAL
-   scan reads only (op, doc_id, lsn, after.{tokens,n_tok,source}) —
+   scan reads only (op, doc_id, lsn, after.{{tokens,n_tok,source}}) —
    `snapshot`, `table_partition`, and even after.doc_id never leave
    the parquet reader; the planning scan reads (op, doc_id, lsn) only.
 

@@ -391,6 +391,83 @@ FROM merged WHERE op <> 'd'
 """
 
 
+def q_stateful_latest(spark, sf_dir):
+    """Custom stateful STREAMING operator under the correctness gate:
+    applyInPandasWithState latest-event filter (streaming/stateful.py)
+    run as one availableNow micro-batch over the events table — with a
+    single batch the emitted row per key is exactly the (lsn, op_rank)
+    winner, which the SQL twin expresses declaratively."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_partial_snapshotter_spark.streaming.stateful import (
+        latest_events_stateful,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.when(F.col("event_type") == "error", "d").otherwise("u"))
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_id").cast("long").alias("lsn"),
+            "op",
+            "value",
+        )
+    )
+    wh = tempfile.mkdtemp(prefix="dps_stateful_")
+    try:
+        feed = os.path.join(wh, "feed")
+        os.makedirs(feed)
+        pdf = ev.toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(feed, "b1.parquet"))
+        stream = spark.readStream.schema(
+            "doc_id string, lsn long, op string, value double"
+        ).parquet(feed)
+        collected = []
+
+        def sink(df, batch_id):
+            collected.append(df.toPandas())
+
+        q = (
+            latest_events_stateful(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(wh, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        import pandas as pd
+
+        out = pd.concat(collected, ignore_index=True)
+        res = spark.createDataFrame(
+            out, "doc_id string, lsn long, op string, value double"
+        )
+        return res.select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.col("op").alias("last_op"),
+            F.round("value", 4).alias("last_value"),
+            F.col("lsn").alias("last_lsn"),
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_STATEFUL_LATEST = """
+WITH tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+)
+SELECT user_id,
+       arg_max(op, event_id) AS last_op,
+       round(arg_max(value, event_id), 4) AS last_value,
+       max(event_id) AS last_lsn
+FROM tagged GROUP BY user_id
+"""
+
+
 def q_bucket_assignment(spark, sf_dir):
     """The engine's portable bucket(doc_id) partitioner (md5-based) —
     per-bucket key counts, i.e. the partition-skew histogram."""
@@ -882,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert_final_state": q_cdc_upsert_final_state,
         "cdc_snapshot_wal_conflict": q_cdc_snapshot_wal_conflict,
         "engine_replay": q_engine_replay,
+        "stateful_latest": q_stateful_latest,
         "bucket_assignment": q_bucket_assignment,
         "tracker_discovery": q_tracker_discovery,
         "catchup_backlog": q_catchup_backlog,
@@ -910,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_upsert_final_state": SQL_CDC_UPSERT_FINAL_STATE,
         "cdc_snapshot_wal_conflict": SQL_CDC_SNAPSHOT_WAL_CONFLICT,
         "engine_replay": SQL_ENGINE_REPLAY,
+        "stateful_latest": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,
         "tracker_discovery": SQL_TRACKER_DISCOVERY,
         "catchup_backlog": SQL_CATCHUP_BACKLOG,

@@ -52,6 +52,12 @@ def get_spark(
         # Never sort-merge-join wide token-array rows; hash joins keep
         # the hot path sort-free (the merge plan relies on this).
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # shuffle/broadcast codec knob: on a memory-bandwidth-bound box
+        # zstd trades (abundant) CPU for (scarce) bytes; lz4 default.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("DPS_IO_CODEC", "lz4"),
+        )
     )
     # shuffle/spill on tmpfs when available (single-node harness);
     # cluster managers override via SPARK_LOCAL_DIRS

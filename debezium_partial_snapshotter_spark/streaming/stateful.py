@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator: cross-batch latest-event filter.
+
+``latest_events_stateful`` is the B4 snapshot/stream dedup
+(winner per key by ``(lsn, op_rank)``) expressed as an ONLINE operator
+with ``applyInPandasWithState`` — per-key state holds the highest
+encoded order ever emitted, so duplicate or stale events redelivered in
+LATER micro-batches are suppressed in-flight, before they reach the
+sink apply. The foreachBatch path already makes redelivery idempotent
+at the commit layer; this operator removes the wasted apply work when
+the feed itself is redelivery-heavy (at-least-once brokers).
+
+Spark-first notes (SURVEY.md §2.4 / build brief "custom stateful
+operators"):
+- state schema is ONE BIGINT per key (the encoded ``lsn*4 + op_rank``)
+  — the state store stays tiny regardless of payload width;
+- each micro-batch group reduces to its max-ord row in pandas (Arrow
+  batches; no per-row Python calls into Spark), emits it only when it
+  advances the key's state — output is at most one row per key per
+  batch;
+- the operator requires flat payload columns (Arrow-friendly); the CDC
+  envelope's ``after`` struct should be flattened upstream.
+
+This is deliberately the escape hatch: for bounded feeds the stateless
+``latest_events`` (primitive max + hash join) is cheaper — use this
+only when suppression must happen ACROSS micro-batches, which no
+built-in stateless operator can express.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+OP_RANK_PD = {"r": 0, "c": 1, "u": 2, "d": 3}
+
+STATE_SCHEMA = StructType([StructField("max_ord", LongType(), True)])
+
+
+def latest_events_stateful(
+    events: DataFrame,
+    key: str = "doc_id",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """events: a STREAMING DataFrame with flat columns including
+    ``key``, ``lsn_col``, ``op_col``. Returns a streaming DataFrame of
+    the same flat schema: per key and micro-batch, the (lsn, op_rank)
+    winner, emitted only when it advances the key's all-time state."""
+    out_schema = events.schema
+
+    def fn(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else -1
+        best_ord = -1
+        best_row = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ords = pdf[lsn_col].astype("int64") * 4 + pdf[op_col].map(
+                OP_RANK_PD
+            ).fillna(1).astype("int64")
+            i = ords.idxmax()
+            if int(ords.loc[i]) > best_ord:
+                best_ord = int(ords.loc[i])
+                best_row = pdf.loc[[i]]
+        if best_row is not None and best_ord > prev:
+            state.update((best_ord,))
+            yield best_row
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

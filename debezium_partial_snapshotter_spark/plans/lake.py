@@ -299,15 +299,26 @@ class LakeTable:
     def _write_partitioned(
         self, df: DataFrame, affected_buckets: list[int]
     ) -> tuple[str, dict[str, list[str]]]:
-        """Write df (carrying int ``_bucket``) under a fresh commit dir,
-        one shuffle keyed on _bucket so each bucket's rows co-locate;
-        returns (commit_dir, bucket -> relative file list)."""
+        """Write df (carrying int ``_bucket``) under a fresh commit dir;
+        returns (commit_dir, bucket -> relative file list).
+
+        By default each bucket's rows are co-located by one extra
+        shuffle on _bucket (one file per bucket — tight layout, cheap
+        reads). DPS_WRITE_COALESCE=0 skips that shuffle: the merge
+        output is already hash-partitioned by doc_id (a refinement of
+        _bucket), so every task just fans its rows out to the buckets
+        it holds — one less full pass of the wide rows over the
+        network/memory bus per epoch, at the cost of up-to
+        tasks x buckets files per commit (compaction folds them)."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.data_dir, f"c-{commit_id}")
         n_out = max(1, len(affected_buckets))
+        staged = df
+        if os.environ.get("DPS_WRITE_COALESCE", "1") != "0":
+            staged = df.repartition(n_out, "_bucket")
         (
-            df.repartition(n_out, "_bucket")
-            .write.partitionBy("_bucket")
+            staged.write.partitionBy("_bucket")
+            .option("maxRecordsPerFile", 0)
             .mode("overwrite")
             .parquet(commit_dir)
         )

@@ -54,15 +54,7 @@ def latest_events(
     """
     if strategy == "join":
         ord_ = (F.col("lsn") * 4 + op_rank(F.col("op"))).alias("_ord")
-        # _uid is attached BEFORE any exchange: monotonically_increasing_id
-        # is a pure function of (input partition, row position), which is
-        # stable for a scan but NOT for post-shuffle row order — assigning
-        # it after the join would give the two consumers of `winners`
-        # (the min-agg and the probe side below) different uids for the
-        # same row, breaking the tie-break filter.
-        cand = batch.withColumn("_ord", ord_).withColumn(
-            "_uid", F.monotonically_increasing_id()
-        )
+        cand = batch.withColumn("_ord", ord_)
         if salt_buckets and salt_buckets > 1:
             maxes = (
                 cand.withColumn("_salt", salt(F.col("lsn"), salt_buckets))
@@ -76,22 +68,33 @@ def latest_events(
         winners = cand.join(maxes.hint("SHUFFLE_HASH"), key).where(
             F.col("_ord") == F.col("_mx")
         )
-        # Tie-break WITHOUT dropDuplicates: duplicate-delivered events tie
-        # with themselves (same key, same _ord, identical content), and
-        # dropDuplicates on wide rows compiles to SortAggregate with
-        # First() buffers (~45% of epoch cost measured at 32 cores).
-        # Instead: keep the row with the minimal _uid among the tied
-        # winners — a narrow primitive HashAggregate plus one more
-        # co-partitioned hash join (everything is already partitioned by
-        # `key` after the first join, so no extra shuffle and no sort of
-        # wide rows). Tied rows are content-identical, so the uid's
-        # choice cannot change the output content.
-        mins = winners.groupBy(key).agg(F.min("_uid").alias("_mu"))
-        return (
-            winners.join(mins.hint("SHUFFLE_HASH"), key)
-            .where(F.col("_uid") == F.col("_mu"))
-            .drop("_ord", "_mx", "_uid", "_mu")
+        # Tie-break WITHOUT a global dropDuplicates: duplicate-delivered
+        # events tie with themselves (same key, same _ord, identical
+        # content), and dropDuplicates over the FULL wide winner set
+        # compiles to SortAggregate with First() buffers (~45% of epoch
+        # cost measured at 32 cores). Instead, detect the (rare) tied
+        # keys with a narrow count and dedup ONLY those rows: the
+        # SortAggregate runs over the tiny tied subset, the untied bulk
+        # passes through an anti-join against a broadcast key list. No
+        # step depends on row order or per-row ids, so the plan is safe
+        # under task retries and multi-branch re-evaluation (a previous
+        # monotonically_increasing_id formulation was not: the two
+        # consumers of `winners` could see different post-shuffle row
+        # orders and assign the same row different ids, dropping keys).
+        tied_keys = (
+            winners.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .select(key)
         )
+        # plain equi-joins: both sides are already hash-partitioned by
+        # `key` (no new exchange of wide rows); AQE upgrades the narrow
+        # key list to a broadcast when it is small — no driver-side
+        # broadcast is FORCED, so adversarial all-duplicate feeds stay
+        # executor-side.
+        untied = winners.join(tied_keys.hint("SHUFFLE_HASH"), key, "left_anti")
+        tied = winners.join(tied_keys.hint("SHUFFLE_HASH"), key).dropDuplicates([key])
+        return untied.unionByName(tied).drop("_ord", "_mx")
     if strategy == "window":
         from pyspark.sql.window import Window
 

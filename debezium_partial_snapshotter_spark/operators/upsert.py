@@ -249,14 +249,32 @@ def apply_batch(
         new_content = winners.withColumn(
             "_bucket", bucket_id(F.col("doc_id"), nb)
         ).observe(obs, F.count(F.lit(1)).alias("rows_live"))
-        applied = table.append_deltas(
-            new_content,
-            affected_buckets=affected,
-            commit_key=commit_key,
-            new_schema=with_system(merged) if evolved else None,
-            validate=validate,
-            **wm_kwargs,
-        )
+        try:
+            applied = table.append_deltas(
+                new_content,
+                affected_buckets=affected,
+                commit_key=commit_key,
+                new_schema=with_system(merged) if evolved else None,
+                validate=validate,
+                expected_num_buckets=nb,
+                **wm_kwargs,
+            )
+        except CommitConflict:
+            # concurrent rescale: this batch was bucketed under a stale
+            # num_buckets — recompute under the new layout
+            if _merge_retries <= 0:
+                raise
+            return apply_batch(
+                table,
+                events,
+                commit_key=commit_key,
+                dedup_strategy=dedup_strategy,
+                salt_buckets=salt_buckets,
+                write_mode=write_mode,
+                tie_guard=tie_guard,
+                watermark_kind=watermark_kind,
+                _merge_retries=_merge_retries - 1,
+            )
     else:
         new_content = (
             winners.where(~F.col("_is_delete"))
@@ -272,11 +290,13 @@ def apply_batch(
                 new_schema=with_system(merged) if evolved else None,
                 validate=validate,
                 read_version=read_version,
+                expected_num_buckets=nb,
                 **wm_kwargs,
             )
         except CommitConflict:
             # a concurrent writer committed into our buckets after we
-            # read them: the merge is stale — re-read and re-merge.
+            # read them (or a rescale changed num_buckets under us):
+            # the merge is stale — re-read and re-merge.
             if _merge_retries <= 0:
                 raise
             return apply_batch(

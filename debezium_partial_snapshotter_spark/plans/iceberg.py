@@ -136,9 +136,11 @@ class IcebergTable:
         return self._props().get("dps.bucket-key", "doc_id")
 
     def schema(self, version: int | None = None) -> StructType:
+        # version 0 is the "no snapshot yet" sentinel (current_version of
+        # an empty table) — Iceberg has no snapshot id 0 to pin
         df = (
             self.spark.read.option("snapshot-id", version).table(self.identifier)
-            if version is not None
+            if version
             else self.spark.read.table(self.identifier)
         )
         return StructType([f for f in df.schema.fields if f.name != "_bucket"])
@@ -152,8 +154,18 @@ class IcebergTable:
         return int(rows[0]["snapshot_id"]) if rows else 0
 
     def _summary_values(self, prop: str) -> list[str]:
+        """Summary property values over CURRENT-ANCESTOR snapshots only.
+        The .snapshots metadata table lists rolled-back snapshots too —
+        reading it raw would (a) treat the commit key of a
+        validation-rollback as committed, silently dropping the
+        tie-guard retry, and (b) let a rolled-back watermark filter out
+        live events. Joining .history on is_current_ancestor restricts
+        to the table's actual lineage."""
         rows = self.spark.sql(
-            f"SELECT summary['{prop}'] AS v FROM {self.identifier}.snapshots"
+            f"SELECT s.summary['{prop}'] AS v "
+            f"FROM {self.identifier}.snapshots s "
+            f"JOIN {self.identifier}.history h ON s.snapshot_id = h.snapshot_id "
+            f"WHERE h.is_current_ancestor"
         ).collect()
         return [r["v"] for r in rows if r["v"] is not None]
 
@@ -176,7 +188,7 @@ class IcebergTable:
         version: int | None = None,
     ) -> DataFrame:
         reader = spark.read
-        if version is not None:
+        if version:  # 0 = empty-table sentinel, see current_version()
             reader = reader.option("snapshot-id", version)
         df = reader.table(self.identifier)
         if buckets is not None:
@@ -198,6 +210,7 @@ class IcebergTable:
         validate=None,
         expected_version: int | None = None,
         read_version: int | None = None,
+        expected_num_buckets: int | None = None,
     ) -> bool | str:
         """Atomic overwrite of the affected partitions: one Iceberg
         commit carrying data + commit key + watermark summary props.
@@ -214,6 +227,14 @@ class IcebergTable:
         snapshot and returns "invalid" — same caller-visible outcome as
         LakeTable's abandoned commit dir.
         """
+        if (
+            expected_num_buckets is not None
+            and self.num_buckets != expected_num_buckets
+        ):
+            raise CommitConflict(
+                f"num_buckets changed {expected_num_buckets} -> "
+                f"{self.num_buckets}; re-bucket and re-merge"
+            )
         if commit_key is not None and commit_key in self.committed_keys():
             return False
         if new_schema is not None:
@@ -236,16 +257,32 @@ class IcebergTable:
         cond = F.col("_bucket").isin([int(b) for b in affected_buckets])
         try:
             writer.overwrite(cond)
-        except Exception as e:  # Iceberg validation / commit failure
-            if "conflict" in str(e).lower() or "commit" in str(e).lower():
-                raise CommitConflict(str(e)) from e
+        except Exception as e:
+            s = str(e)
+            # ONLY genuine optimistic-concurrency failures become
+            # CommitConflict (the caller re-reads and re-merges).
+            # CommitStateUnknown must surface as-is: the commit may have
+            # LANDED, and a blind re-merge could double-apply.
+            if "CommitStateUnknown" in s:
+                raise
+            if "CommitFailedException" in s or (
+                "ValidationException" in s and "conflict" in s.lower()
+            ):
+                raise CommitConflict(s) from e
             raise
 
         if validate is not None and not validate():
-            self.spark.sql(
-                f"CALL {self._catalog()}.system.rollback_to_snapshot"
-                f"('{self._table_path()}', {pre})"
-            )
+            if pre:
+                self.spark.sql(
+                    f"CALL {self._catalog()}.system.rollback_to_snapshot"
+                    f"('{self._table_path()}', {pre})"
+                )
+            else:
+                # first-ever commit: there is no snapshot to roll back
+                # to — undo by truncating (the summary key stays on the
+                # abandoned snapshot but is NOT a current ancestor, so
+                # committed_keys() ignores it and the retry proceeds)
+                self.spark.sql(f"DELETE FROM {self.identifier} WHERE true")
             return "invalid"
         return True
 
@@ -284,11 +321,19 @@ class IcebergTable:
         return {"buckets_with_deltas": [], "delta_files": 0}
 
     def compact(self, spark: SparkSession, min_files: int = 2, commit_key=None) -> dict:
+        """rewrite_data_files with the min-input-files threshold mapped
+        from ``min_files``. ``commit_key`` is not recorded: the rewrite
+        is content-idempotent maintenance (re-running it is a no-op by
+        construction), unlike data commits. Contract-shaped return
+        (compacted_buckets: list — Iceberg decides file grouping
+        internally, so the list is empty rather than a fake)."""
         spark.sql(
             f"CALL {self._catalog()}.system.rewrite_data_files"
-            f"(table => '{self._table_path()}')"
+            f"(table => '{self._table_path()}', "
+            f"options => map('min-input-files', '{int(min_files)}'))"
         )
-        return {"compacted_buckets": "iceberg:rewrite_data_files", "applied": True}
+        return {"compacted_buckets": [], "applied": True,
+                "procedure": "rewrite_data_files"}
 
     # ------------------------------------------------------------ utility
     def overwrite(self, df: DataFrame, new_schema: StructType | None = None) -> None:

@@ -347,6 +347,7 @@ class LakeTable:
         snapshot_lsn: int | None = None,
         max_retries: int = 5,
         validate=None,
+        expected_num_buckets: int | None = None,
     ) -> bool | str:
         """Merge-on-read commit: append ``df`` (batch winners INCLUDING
         delete tombstones, carrying ``_bucket`` and ``_is_delete``) as
@@ -362,6 +363,18 @@ class LakeTable:
             return "invalid"
         for attempt in range(max_retries):
             man = self.manifest()
+            if (
+                expected_num_buckets is not None
+                and man["num_buckets"] != expected_num_buckets
+            ):
+                # a concurrent rescale changed the layout: this df was
+                # bucketed under a stale num_buckets — committing would
+                # scatter rows into wrong partitions undetected
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"num_buckets changed {expected_num_buckets} -> "
+                    f"{man['num_buckets']}; re-bucket and re-merge"
+                )
             if commit_key is not None and commit_key in set(man["commit_keys"]):
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 return False
@@ -418,6 +431,7 @@ class LakeTable:
         expected_version: int | None = None,
         read_version: int | None = None,
         new_num_buckets: int | None = None,
+        expected_num_buckets: int | None = None,
     ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
@@ -455,6 +469,15 @@ class LakeTable:
 
         for attempt in range(max_retries):
             man = self.manifest()
+            if (
+                expected_num_buckets is not None
+                and man["num_buckets"] != expected_num_buckets
+            ):
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"num_buckets changed {expected_num_buckets} -> "
+                    f"{man['num_buckets']}; re-bucket and re-merge"
+                )
             if expected_version is not None and man["version"] != expected_version:
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 raise CommitConflict(

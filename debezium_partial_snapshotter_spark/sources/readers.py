@@ -47,7 +47,10 @@ class ParquetWalSource:
 
     # ---- B1: bounded snapshot scan of claimed buckets at a watermark ----
     def snapshot(
-        self, buckets: list[int] | None, watermark_lsn: int
+        self,
+        buckets: list[int] | None,
+        watermark_lsn: int,
+        tag_last: bool = False,
     ) -> DataFrame:
         """SELECT * of the claimed partitions, emitted as 'r' events at
         the snapshot watermark. Bucket filtering happens IN the scan
@@ -60,19 +63,28 @@ class ParquetWalSource:
         if buckets is not None:
             payload = payload.where(b.isin([int(x) for x in buckets]))
         after_fields = [f.name for f in payload.schema.fields]
-        # reference tags the FINAL snapshot row source.snapshot='last'
-        # (PartialSnapshotterTest.java:426-431). A distributed scan has
-        # no row order, so "last" = the max-doc_id row — deterministic,
-        # exactly one row, computed by a column-pruned pre-scan (cheaper
-        # than a window, which would shuffle the payload).
-        last_id = payload.agg(F.max("doc_id")).collect()[0][0]
+        # reference-parity OPTION: tag the FINAL snapshot row
+        # source.snapshot='last' (PartialSnapshotterTest.java:426-431).
+        # A distributed scan has no row order, so "last" = the
+        # max-doc_id row — deterministic, exactly one row, computed by
+        # a column-pruned pre-scan. Opt-in: the engine itself never
+        # reads the tag, and the pre-scan is a whole extra source pass
+        # per snapshot epoch — pay it only when a downstream consumer
+        # (reference-compatible tooling) needs the marker.
+        if tag_last:
+            last_id = payload.agg(F.max("doc_id")).collect()[0][0]
+            snap_col = (
+                F.when(F.col("doc_id") == F.lit(last_id), "last")
+                .otherwise("true")
+                .alias("snapshot")
+            )
+        else:
+            snap_col = F.lit("true").alias("snapshot")
         return payload.select(
             F.lit("r").alias("op"),
             F.col("doc_id"),
             F.lit(watermark_lsn).cast("long").alias("lsn"),
-            F.when(F.col("doc_id") == F.lit(last_id), "last")
-            .otherwise("true")
-            .alias("snapshot"),
+            snap_col,
             table_partition(self.table, bucket_id(F.col("doc_id"), self.num_buckets)).alias(
                 "table_partition"
             ),
@@ -80,13 +92,22 @@ class ParquetWalSource:
         )
 
     # ---- B2: the unbounded tail -----------------------------------------
-    def wal_batch(self, paths: list[str] | None = None) -> DataFrame:
-        """Bounded read of WAL segments (catch-up replay, B3)."""
+    def wal_batch(
+        self, paths: list[str] | None = None, since_lsn: int | None = None
+    ) -> DataFrame:
+        """Bounded read of WAL segments (catch-up replay, B3).
+        ``since_lsn`` applies the replay watermark INSIDE the source —
+        for parquet it prunes at row-group granularity via pushdown;
+        for the JDBC source the same parameter keeps already-applied
+        rows from ever leaving the database."""
         if paths is None:
             paths = self.wal_segment_paths()
         if not paths:
             return self.spark.createDataFrame([], self.event_schema)
-        return self.spark.read.schema(self.event_schema).parquet(*paths)
+        df = self.spark.read.schema(self.event_schema).parquet(*paths)
+        if since_lsn is not None:
+            df = df.where(F.col("lsn") > F.lit(since_lsn))
+        return df
 
     def wal_stream(self, max_files_per_trigger: int = 8) -> DataFrame:
         """Structured Streaming file source over the log directory."""

@@ -127,13 +127,14 @@ class MultiTableIngestRunner:
     def _key(self, phase: str, table: str) -> str:
         return f"{self.cfg.pipeline_id}:{phase}:{self._epoch}:{table}"
 
-    def _record(self, phase: str, table: str, stats: dict) -> None:
+    def _record(self, phase: str, table: str, stats: dict, epoch: int | None = None) -> None:
+        epoch = self._epoch if epoch is None else epoch
         wall = max(stats.get("wall_ms") or 1, 1)
         n = stats.get("batch_keys")
         self.metrics.append(
             [
                 {
-                    "epoch": self._epoch,
+                    "epoch": epoch,
                     "partition": f"{table}/*",
                     "phase": phase,
                     "rows_read": n,
@@ -148,7 +149,7 @@ class MultiTableIngestRunner:
             [
                 {
                     "pipeline_id": self.cfg.pipeline_id,
-                    "checkpoint_epoch": self._epoch,
+                    "checkpoint_epoch": epoch,
                     "commit_key": stats.get("commit_key"),
                     "phase": phase,
                     "batch_keys": n,
@@ -165,7 +166,9 @@ class MultiTableIngestRunner:
         for t, src in sorted(self.sources.items()):
             table = self.tables[t]
             wm = table.watermark_lsn()
-            events = self._route(src.wal_batch(), t).where(F.col("lsn") > F.lit(wm))
+            events = self._route(src.wal_batch(since_lsn=wm), t).where(
+                F.col("lsn") > F.lit(wm)
+            )
             key = self._key(phase, t)
             if key in table.committed_keys():
                 out[t] = {"applied": False, "reason": "duplicate_commit_key"}
@@ -194,15 +197,27 @@ class MultiTableIngestRunner:
         return self._wal_phase("tail")
 
     def snapshot_epoch(self) -> dict:
-        epoch = self._epoch
+        # crash-resume: if an earlier epoch claimed partitions but died
+        # before release (e.g. after committing table A, before table
+        # B), finish THAT epoch at ITS recorded watermark — the shared
+        # consistency point survives the crash, and A's per-table key
+        # makes its re-apply a no-op.
+        mine = self.tracker.state(self.cfg.pipeline_id)
+        stale = mine[mine["under_snapshot"]] if len(mine) else mine
+        if len(stale):
+            epoch = int(stale["updated_epoch"].min())
+            watermark = int(stale["watermark_lsn"].max())
+        else:
+            epoch = self._epoch
+            # ONE consistency point for all tables in the epoch
+            # (reference: a connector's snapshot covers all its tables
+            # at one position)
+            watermark = max(
+                [src.current_lsn() for src in self.sources.values()]
+                + [t.watermark_lsn() + 1 for t in self.tables.values()]
+                + [t.snapshot_lsn() + 1 for t in self.tables.values()]
+            )
         discovered = self.discovered_partitions()
-        # ONE consistency point for all tables in the epoch (reference:
-        # a connector's snapshot covers all its tables at one position)
-        watermark = max(
-            [src.current_lsn() for src in self.sources.values()]
-            + [t.watermark_lsn() + 1 for t in self.tables.values()]
-            + [t.snapshot_lsn() + 1 for t in self.tables.values()]
-        )
         try:
             claimed = self.tracker.claim(
                 discovered,
@@ -230,7 +245,7 @@ class MultiTableIngestRunner:
         out, any_applied = {}, False
         for t, buckets in sorted(by_table.items()):
             table = self.tables[t]
-            key = self._key("snapshot", t)
+            key = f"{self.cfg.pipeline_id}:snapshot:{epoch}:{t}"
             if key in table.committed_keys():
                 out[t] = {"applied": False, "reason": "duplicate_commit_key"}
                 continue
@@ -247,11 +262,11 @@ class MultiTableIngestRunner:
             stats["commit_key"] = key
             if stats.get("applied"):
                 any_applied = True
-                self._record("snapshot", t, stats)
+                self._record("snapshot", t, stats, epoch=epoch)
             out[t] = stats
         self.tracker.release(self.cfg.pipeline_id, epoch=epoch)
         if any_applied:
-            self._epoch += 1
+            self._epoch = max(self._epoch, epoch + 1)
         return {
             "applied": any_applied,
             "claimed": claimed,

@@ -213,7 +213,12 @@ class PartialIngestRunner:
         key = self._fresh_key("catchup")
         epoch = self._epoch
         wm = self.table.watermark_lsn()
-        events = self.source.wal_batch().where(F.col("lsn") > F.lit(wm))
+        # since_lsn pushes the watermark into the SOURCE (JDBC: rows
+        # never leave the database); the outer where is a no-op guard
+        # for sources that ignore the parameter
+        events = self.source.wal_batch(since_lsn=wm).where(
+            F.col("lsn") > F.lit(wm)
+        )
         stats = self._apply(events, "catchup", key)
         if stats.get("applied"):
             self._record("catchup", epoch, stats)
@@ -223,8 +228,20 @@ class PartialIngestRunner:
     def snapshot_epoch(self) -> dict:
         """The partial-snapshot pass: claim -> bounded scan of claimed
         buckets only -> apply -> release (A1-A7, B1)."""
-        key = self._fresh_key("snapshot")
-        epoch = self._epoch
+        # crash-resume: partitions still marked under_snapshot belong to
+        # an epoch that died between claim and release — finish THAT
+        # epoch at ITS recorded watermark (one consistency point per
+        # epoch); already-committed work is skipped by its commit key.
+        mine = self.tracker.state(self.cfg.pipeline_id)
+        stale = mine[mine["under_snapshot"]] if len(mine) else mine
+        if len(stale):
+            epoch = int(stale["updated_epoch"].min())
+            resumed_watermark = int(stale["watermark_lsn"].max())
+            key = f"{self.cfg.pipeline_id}:snapshot:{epoch}"
+        else:
+            key = self._fresh_key("snapshot")
+            epoch = self._epoch
+            resumed_watermark = None
         try:
             discovered = self.discovered_partitions()
             # the snapshot consistency point: at least the source's WAL
@@ -236,10 +253,14 @@ class PartialIngestRunner:
             # that arrive later. snapshot_lsn (not watermark_lsn) keeps
             # this monotonic: partial snapshots do NOT advance the WAL
             # replay filter (see apply_batch watermark_kind).
-            watermark = max(
-                self.source.current_lsn(),
-                self.table.watermark_lsn() + 1,
-                self.table.snapshot_lsn() + 1,
+            watermark = (
+                resumed_watermark
+                if resumed_watermark is not None
+                else max(
+                    self.source.current_lsn(),
+                    self.table.watermark_lsn() + 1,
+                    self.table.snapshot_lsn() + 1,
+                )
             )
             claimed = self.tracker.claim(
                 discovered,
@@ -276,7 +297,7 @@ class PartialIngestRunner:
         stats["snapshot_watermark"] = watermark
         if stats.get("applied"):
             self._record("snapshot", epoch, stats)
-            self._epoch += 1
+            self._epoch = max(self._epoch, epoch + 1)
         return stats
 
     def tail_batch(self, events: DataFrame | None = None) -> dict:
@@ -286,7 +307,7 @@ class PartialIngestRunner:
         epoch = self._epoch
         wm = self.table.watermark_lsn()
         if events is None:
-            events = self.source.wal_batch()
+            events = self.source.wal_batch(since_lsn=wm)
         events = events.where(F.col("lsn") > F.lit(wm))
         stats = self._apply(events, "tail", key)
         if stats.get("applied"):

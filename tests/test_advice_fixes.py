@@ -260,3 +260,44 @@ def test_apply_batch_remerges_on_conflict(spark, tmp_warehouse):
         for r in table.read(spark, buckets=[0]).collect()
     }
     assert got == {same[0]: [1], same[1]: [2]}, got
+
+
+def test_crashed_snapshot_epoch_resumes_same_epoch(spark, tmp_warehouse):
+    """A crash between the snapshot apply and the tracker release must
+    resume the SAME epoch at the SAME recorded watermark — the retry is
+    a duplicate-key no-op, not a second full snapshot at a new
+    watermark."""
+    spec = EventLogSpec(n_docs=40, n_events=100, n_segments=1, seed=13, num_buckets=NB)
+    state = generate_initial_state(spec)
+    state_path = os.path.join(tmp_warehouse, "source", "state.parquet")
+    write_state(state_path, state)
+    log_dir = os.path.join(tmp_warehouse, "source", "wal")
+    os.makedirs(log_dir)
+
+    runner1, cfg = _mk_runner(spark, tmp_warehouse, state_path, log_dir)
+
+    # crash AFTER the apply, BEFORE the release
+    orig_release = runner1.tracker.release
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before release")
+
+    runner1.tracker.release = crash
+    try:
+        runner1.snapshot_epoch()
+    except RuntimeError:
+        pass
+    runner1.tracker.release = orig_release
+    keys_before = set(runner1.table.committed_keys())
+    assert any(k.startswith("p1:snapshot:") for k in keys_before)
+    v_before = runner1.table.current_version()
+
+    # restart: under_snapshot rows exist -> resume, not re-snapshot
+    runner2, _ = _mk_runner(spark, tmp_warehouse, state_path, log_dir)
+    out = runner2.snapshot_epoch()
+    assert out.get("reason") != "nothing_claimed"
+    assert runner2.table.current_version() == v_before  # no new commit
+    assert set(runner2.table.committed_keys()) == keys_before
+    # and the claim is now released
+    st = runner2.tracker.state(cfg.pipeline_id)
+    assert not st["under_snapshot"].any()

@@ -167,9 +167,12 @@ def test_dedup_strategies_agree(spark, tmp_warehouse):
 
 
 def test_latest_events_join_dedups_exact_redelivery(spark):
-    """The join strategy's min-uid tie-break must keep exactly ONE copy
-    of a duplicate-delivered event (same key, lsn, op, content) without
-    a SortAggregate in the plan."""
+    """The join strategy must keep exactly ONE copy of a
+    duplicate-delivered event (same key, lsn, op, content). The plan is
+    allowed a SortAggregate ONLY on the tied-keys branch (a narrow
+    count isolates tied keys first; the wide bulk flows through an
+    order-insensitive anti-join) — correctness must not depend on row
+    order or per-row ids, which task retries can change."""
     from debezium_partial_snapshotter_spark.operators.dedup import latest_events
 
     rows = [
@@ -186,5 +189,9 @@ def test_latest_events_join_dedups_exact_redelivery(spark):
     got = {r["doc_id"]: (r["lsn"], r["op"]) for r in out.collect()}
     assert out.count() == 2
     assert got == {"k1": (12, "u"), "k2": (11, "u")}
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan, plan
+
+    # tie-free input: exactly one row per key, nothing dropped
+    clean = latest_events(
+        df.dropDuplicates(["doc_id", "lsn"]), strategy="join"
+    )
+    assert clean.count() == 2

@@ -89,3 +89,46 @@ def test_shrink_removes_stale_buckets(spark, tmp_warehouse):
     assert man["num_buckets"] == 4
     assert all(int(b) < 4 for b in man["buckets"])  # buckets 4..7 gone
     assert t.read(spark).count() == 30
+
+
+def test_apply_rebuckets_on_concurrent_rescale(spark, tmp_warehouse):
+    """A rescale landing between an apply's read and its commit must NOT
+    let stale-bucketed rows commit (they would land in partitions that
+    disagree with the new bucket function and vanish from pruned
+    reads); apply_batch must conflict and re-merge under the new
+    layout."""
+    from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+
+    path = os.path.join(tmp_warehouse, "t4")
+    table = empty_table_for(path, TOKENS_SCHEMA, 4)
+    apply_batch(
+        table, _events(spark, [("u", f"k{i}", 10 + i) for i in range(12)]),
+        commit_key="p:0",
+    )
+
+    other = LakeTable(path)
+    orig = table.replace_buckets
+    fired = {"n": 0}
+
+    def hook(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other.rescale(spark, 8, commit_key="p:rescale")
+        return orig(*a, **kw)
+
+    table.replace_buckets = hook
+    stats = apply_batch(
+        table, _events(spark, [("u", "k1", 99), ("u", "zz", 100)]),
+        commit_key="p:1",
+    )
+    table.replace_buckets = orig
+    assert stats["applied"] is True
+    assert table.num_buckets == 8
+
+    # every row must be findable through NEW-layout bucket pruning
+    for d in ["k1", "zz", "k5"]:
+        b = bucket_id_py(d, 8)
+        found = {r["doc_id"] for r in table.read(spark, buckets=[b]).collect()}
+        assert d in found, (d, b)
+    got = {r["doc_id"]: r["_lsn"] for r in table.read(spark).collect()}
+    assert got["k1"] == 99 and got["zz"] == 100 and len(got) == 13

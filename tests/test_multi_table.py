@@ -166,3 +166,51 @@ def test_multi_table_structured_stream(spark, tmp_warehouse):
     v = {t: runner.tables[t].current_version() for t in TABLES}
     runner.stream(timeout_sec=120.0)
     assert {t: runner.tables[t].current_version() for t in TABLES} == v
+
+
+def test_multi_table_crash_resumes_same_epoch(spark, tmp_warehouse, monkeypatch):
+    """Crash after committing table alpha but before beta: the restart
+    must finish the SAME epoch at the SAME shared watermark — alpha's
+    per-table key makes its re-apply a no-op, beta commits under the
+    crashed epoch's number, and both end at one consistency point."""
+    import debezium_partial_snapshotter_spark.streaming.multi as multi_mod
+
+    specs, states, sources, _ = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(spark, tmp_warehouse, sources)
+
+    real_apply = multi_mod.apply_batch
+
+    def crashing_apply(table, events, commit_key=None, **kw):
+        if commit_key and commit_key.endswith(":beta"):
+            raise RuntimeError("simulated crash before beta's commit")
+        return real_apply(table, events, commit_key=commit_key, **kw)
+
+    monkeypatch.setattr(multi_mod, "apply_batch", crashing_apply)
+    try:
+        runner.snapshot_epoch()
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(multi_mod, "apply_batch", real_apply)
+
+    alpha_keys = runner.tables["alpha"].committed_keys()
+    assert any(k.startswith("p1:snapshot:") for k in alpha_keys)
+    epoch = next(
+        int(k.split(":")[2]) for k in alpha_keys if k.startswith("p1:snapshot:")
+    )
+    v_alpha = runner.tables["alpha"].current_version()
+
+    # restart
+    runner2, _ = _runner(spark, tmp_warehouse, sources)
+    out = runner2.snapshot_epoch()
+    assert out["applied"]
+    # alpha untouched (same epoch key -> duplicate), beta committed
+    # under the SAME epoch and shared watermark
+    assert runner2.tables["alpha"].current_version() == v_alpha
+    assert out["tables"]["alpha"]["reason"] == "duplicate_commit_key"
+    assert f"p1:snapshot:{epoch}:beta" in runner2.tables["beta"].committed_keys()
+    assert runner2.tables["beta"].snapshot_lsn() == out["snapshot_watermark"]
+    assert_state_matches(
+        spark, runner2.tables["beta"], {r["doc_id"]: r for r in states["beta"]}
+    )
+    st = runner2.tracker.state(cfg.pipeline_id)
+    assert not st["under_snapshot"].any()

@@ -691,6 +691,78 @@ WHERE round(inter / (sz_a + sz_b - inter), 4) >= 0.5
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Cluster-output near-dup (VERDICT r2 item 1): one (doc_id,
+    canonical_id) assignment per doc — the scale-safe replacement for
+    the pair list. canonical = min doc_id of the connected component of
+    the verified Jaccard graph (same gate/threshold as jaccard_pairs);
+    the oracle computes the identical closure with a recursive CTE."""
+    return dd.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=1, k=8, bands=8
+    ).select("doc_id", "canonical_id", "cluster_size", "is_dup")
+
+
+SQL_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id,
+         list_filter(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                     w -> length(w) > 0) AS sh
+  FROM documents
+), keyed AS (
+  SELECT doc_id, sh, array_to_string(list_sort(sh), chr(31)) AS set_key,
+         len(sh) AS sz
+  FROM words
+), reps AS (
+  SELECT set_key, min(doc_id) AS rep FROM keyed WHERE sz > 0 GROUP BY set_key
+), repdocs AS (
+  SELECT r.rep AS doc_id, k.sh
+  FROM reps r JOIN keyed k ON k.doc_id = r.rep AND k.set_key = r.set_key
+), sig AS (
+  SELECT doc_id, seed,
+         min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT)) AS mh
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM repdocs) s
+  CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(8)) seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed AS band, mh AS bh FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT rep_a, rep_b
+  FROM cand
+  JOIN repdocs wa ON wa.doc_id = rep_a
+  JOIN repdocs wb ON wb.doc_id = rep_b
+  WHERE round(len(list_intersect(wa.sh, wb.sh))
+              / (len(wa.sh) + len(wb.sh) - len(list_intersect(wa.sh, wb.sh))), 4) >= 0.5
+), edges AS (
+  SELECT rep_a AS s, rep_b AS d FROM verified
+  UNION
+  SELECT rep_b AS s, rep_a AS d FROM verified
+), reach(node, lab) AS (
+  SELECT rep, rep FROM reps
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS rep, min(lab) AS canonical_id FROM reach GROUP BY node
+), assign AS (
+  SELECT k.doc_id, c.canonical_id
+  FROM keyed k
+  JOIN reps r ON k.set_key = r.set_key AND k.sz > 0
+  JOIN comp c ON c.rep = r.rep
+  UNION ALL
+  SELECT doc_id, doc_id AS canonical_id FROM keyed WHERE sz = 0
+), sized AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM assign GROUP BY canonical_id
+)
+SELECT a.doc_id, a.canonical_id, s.cluster_size,
+       (a.doc_id <> a.canonical_id) AS is_dup
+FROM assign a JOIN sized s USING (canonical_id)
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash(_t(spark, sf_dir, "documents"), bits=32).select(
         "doc_id", "simhash"
@@ -914,6 +986,58 @@ WHERE round(list_dot_product(a.v, b.v), 4) >= 0.3
 )
 
 
+def q_embedding_near_dup_clusters(spark, sf_dir):
+    """Cluster-output embedding near-dup: connected components over the
+    sign-LSH cosine graph (same buckets/threshold as
+    embedding_near_dup), one assignment row per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup_clusters(emb, threshold=0.3, planes=8).select(
+        "vec_id", "canonical_id", "cluster_size", "is_dup"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE
+e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings
+), n AS (
+  SELECT vid,
+         list_transform(v0, x -> x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+  FROM e
+), sig AS (
+  SELECT vid, v, concat(
+    {planes}
+  ) AS s FROM n
+), pairs AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vid < b.vid
+  WHERE round(list_dot_product(a.v, b.v), 4) >= 0.3
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT vid, vid FROM n
+  UNION
+  SELECT e2.d, r.lab FROM reach r JOIN edges e2 ON e2.s = r.node
+), comp AS (
+  SELECT node AS vec_id, min(lab) AS canonical_id FROM reach GROUP BY node
+), sized AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT c.vec_id, c.canonical_id, s.cluster_size,
+       (c.vec_id <> c.canonical_id) AS is_dup
+FROM comp c JOIN sized s USING (canonical_id)
+""".format(
+    planes=",\n    ".join(
+        "CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * "
+        "(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || '%d'),1,6)) AS BIGINT)"
+        "/8388608.0 - 1.0))) >= 0 THEN '1' ELSE '0' END" % p
+        for p in range(8)
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -969,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -977,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_clusters": q_embedding_near_dup_clusters,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -998,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
@@ -1006,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "ivf_topk": SQL_IVF_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_clusters": SQL_EMBEDDING_NEAR_DUP_CLUSTERS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "frame_sample": SQL_FRAME_SAMPLE,
     }

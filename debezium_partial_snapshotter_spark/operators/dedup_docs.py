@@ -181,40 +181,30 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def jaccard_pairs(
+def _jaccard_set_graph(
     df: DataFrame,
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 1,
     k: int = 8,
     bands: int = 8,
-) -> DataFrame:
-    """n-gram Jaccard near-dup, LSH-GATED (round 2): exact Jaccard is
-    verified ONLY on MinHash-band candidate pairs.
+):
+    """Shared candidate machinery for the Jaccard family: group docs by
+    exact shingle set, LSH-gate candidate SET pairs over one
+    representative per set, exact-verify each candidate set pair.
 
-    The round-1 shared-shingle self-join was quadratic on low-vocab
-    corpora (every doc pair shares 'the'). Round-2 plan, outside-in:
+    Returns ``(members, verified)``:
+    - ``members``: (set_key, doc_id, sz) — every doc with its set group;
+    - ``verified``: (key_a, key_b, rep_a, rep_b, inter, vsz_a, vsz_b,
+      jaccard) — set pairs with exact Jaccard >= threshold.
 
-    1. **Canonicalize**: docs are grouped by their exact shingle SET
-       (md5 of the sorted set) — identical sets have identical MinHash
-       signatures and pairwise Jaccard 1, so all LSH + verify work runs
-       ONCE per distinct set (dedup-before-neardup; on corpora with
-       heavy duplication this collapses the candidate graph).
-    2. **LSH gate on representatives**: candidates from MinHash bands —
-       a (band, bh:BIGINT) equi-join, linear in sets×k, never O(n²).
-       With bands=k recall at threshold s is 1-(1-s)^k (~99.6% at
-       s=0.5, k=8).
-    3. **Exact verify on candidate set-pairs**: |A∩B| via
-       array_intersect of the two sorted shingle arrays — cost bounded
-       by candidates × doc length, independent of vocabulary shape.
-    4. **Expand** verified set-pairs (and within-group pairs, Jaccard
-       exactly 1) back to doc pairs — Ω(output) work only.
-
-    Equivalence to doc-level LSH: members of a set-group share the
-    representative's signature, so a doc pair is an LSH candidate iff
-    its set pair is — the SQL oracle is the doc-level formulation and
-    matches exactly. Pairs the LSH misses are absent from the output —
-    a documented approximation, mirrored exactly by the oracle.
+    Everything here is linear in docs x shingles plus candidates: set
+    canonicalization collapses duplicate-heavy corpora BEFORE the LSH,
+    the LSH gate is a (band, bh:BIGINT) equi-join, and the verify is
+    one array_intersect per candidate set pair. NOTHING in this helper
+    expands to doc pairs — ``jaccard_pairs`` (the small-scale/debug
+    view) does that expansion; ``near_dup_clusters`` (the 100-TB
+    deliverable) goes straight to cluster assignments instead.
     """
     sets_ = df.select(
         "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
@@ -273,6 +263,8 @@ def jaccard_pairs(
         .select(
             "key_a",
             "key_b",
+            "rep_a",
+            "rep_b",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
             F.size("sh_a").cast("long").alias("vsz_a"),
             F.size("sh_b").cast("long").alias("vsz_b"),
@@ -286,7 +278,36 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return members, verified
 
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    k: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup PAIRS, LSH-gated (see _jaccard_set_graph
+    for the candidate plan — round 2 killed the quadratic shared-shingle
+    join; recall at threshold s is 1-(1-s)^k with bands=k).
+
+    SCALE WARNING (VERDICT r2): the pair OUTPUT contract is itself the
+    hazard — a group of n identical docs emits n(n-1)/2 rows (5x10^11
+    for n=10^6). This is the small-scale/debug view; pipelines at scale
+    consume ``near_dup_clusters`` which emits one assignment row per
+    doc. The expansion below is Omega(output) work only.
+
+    Equivalence to doc-level LSH: members of a set-group share the
+    representative's signature, so a doc pair is an LSH candidate iff
+    its set pair is — the SQL oracle is the doc-level formulation and
+    matches exactly. Pairs the LSH misses are absent from the output —
+    a documented approximation, mirrored exactly by the oracle.
+    """
+    members, verified = _jaccard_set_graph(
+        df, text_col, threshold, shingle_n, k, bands
+    )
     # expand set pairs to doc pairs (output-bound work)
     m1 = members.select(F.col("set_key").alias("key_a"), F.col("doc_id").alias("da"))
     m2 = members.select(F.col("set_key").alias("key_b"), F.col("doc_id").alias("db"))
@@ -466,4 +487,117 @@ def embedding_near_dup(
             F.round(cos, 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    k: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Cluster-output n-gram Jaccard near-dup — the 100-TB deliverable
+    (VERDICT r2 item 1): one ``(doc_id, canonical_id, cluster_size,
+    is_dup)`` row PER DOC, never per pair. ``canonical_id`` is the
+    minimum doc_id of the connected component of the verified near-dup
+    graph (clusters are transitive closures: A~B and B~C cluster A,B,C
+    even when A~C is below threshold — the standard near-dedup keep-one
+    contract).
+
+    Plan, outside-in (every stage linear in docs + candidates):
+    1. set-canonicalize + LSH-gate + exact-verify SET pairs
+       (_jaccard_set_graph — shared with jaccard_pairs);
+    2. connected components over the REP graph (one node per distinct
+       shingle set, min-label propagation + pointer jumping — never
+       expanded to doc pairs);
+    3. assign every member doc its component's canonical id; docs with
+       empty shingle sets (undefined Jaccard) are singletons.
+
+    A group of n identical docs therefore costs one graph node and
+    emits n assignment rows — vs n(n-1)/2 pair rows from
+    ``jaccard_pairs`` (the debug view)."""
+    from debezium_partial_snapshotter_spark.operators.graph import (
+        connected_components,
+    )
+
+    members, verified = _jaccard_set_graph(
+        df, text_col, threshold, shingle_n, k, bands
+    )
+    rep_of = members.groupBy("set_key").agg(F.min("doc_id").alias("rep"))
+    nonempty = members.where(F.col("sz") > 0)
+    comp = connected_components(
+        verified.select("rep_a", "rep_b"),
+        src="rep_a",
+        dst="rep_b",
+        nodes=nonempty.join(rep_of, "set_key").select("rep").distinct(),
+        node_col="rep",
+    )
+    assigned = (
+        nonempty.join(rep_of, "set_key")
+        .join(comp, F.col("rep") == comp["node"])
+        .select("doc_id", F.col("component").alias("canonical_id"))
+    )
+    singletons = members.where(F.col("sz") == 0).select(
+        "doc_id", F.col("doc_id").alias("canonical_id")
+    )
+    assign = assigned.unionByName(singletons)
+    sizes = assign.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+def embedding_near_dup_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+) -> DataFrame:
+    """Cluster-output embedding near-dup: connected components over the
+    sign-LSH-bucketed cosine graph, emitted as one ``(vec_id,
+    canonical_id, cluster_size, is_dup)`` row per vector.
+
+    Same dedup-before-neardup trick as the Jaccard family: vectors are
+    first grouped by EXACT equality (a groupBy on the array column —
+    no serialization tricks needed), so a group of n byte-identical
+    embeddings is ONE node in the bucketed pair graph instead of
+    n(n-1)/2 within-bucket pairs. Group members share their rep's
+    cosine edges exactly (identical vectors), so the declarative oracle
+    without canonicalization produces the same clusters."""
+    from debezium_partial_snapshotter_spark.operators.graph import (
+        connected_components,
+    )
+
+    groups = emb.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
+    members = emb.join(groups, vec_col).select(
+        F.col(id_col).alias("vid"), "rep"
+    )
+    reps = groups.select(F.col("rep").alias(id_col), F.col(vec_col))
+    pairs = embedding_near_dup(reps, id_col, vec_col, threshold, planes)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        nodes=members.select("rep").distinct(),
+        node_col="rep",
+    )
+    assign = members.join(comp, members["rep"] == comp["node"]).select(
+        F.col("vid").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    sizes = assign.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "canonical_id").select(
+        id_col,
+        "canonical_id",
+        "cluster_size",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )

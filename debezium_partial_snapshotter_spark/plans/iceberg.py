@@ -146,10 +146,20 @@ class IcebergTable:
         return StructType([f for f in df.schema.fields if f.name != "_bucket"])
 
     def current_version(self) -> int:
-        """Latest snapshot id (0 for an empty, never-written table)."""
+        """Snapshot id at the head of ``main`` (0 for an empty,
+        never-written table).
+
+        Read from the ``.refs`` metadata table, NOT by ``ORDER BY
+        committed_at`` over ``.snapshots``: committed_at has millisecond
+        granularity, so two rapid commits can tie and timestamp ordering
+        would return a non-current snapshot — pinning reads (and
+        ``schema()``) to stale content that serializable isolation does
+        not protect against (it validates file conflicts, not the
+        read-pin). The refs row is the commit protocol's own pointer and
+        is exact (ADVICE r2)."""
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.identifier}.refs "
+            "WHERE name = 'main'"
         ).collect()
         return int(rows[0]["snapshot_id"]) if rows else 0
 
@@ -211,6 +221,7 @@ class IcebergTable:
         expected_version: int | None = None,
         read_version: int | None = None,
         expected_num_buckets: int | None = None,
+        pin_key: bool = False,
     ) -> bool | str:
         """Atomic overwrite of the affected partitions: one Iceberg
         commit carrying data + commit key + watermark summary props.
@@ -220,12 +231,42 @@ class IcebergTable:
         validates that no concurrent commit touched files matching the
         overwrite filter since the writer's base snapshot and aborts
         otherwise (surfaced as CommitConflict so apply_batch re-merges).
+        ``pin_key`` is likewise contract parity only: summary-property
+        keys ride the snapshot log and are never evicted here.
 
-        ``validate`` runs AFTER the commit (Iceberg's write+commit is a
-        single atomic call, so there is no between-write-and-swap
-        window); a failed validation rolls back to the pre-commit
-        snapshot and returns "invalid" — same caller-visible outcome as
-        LakeTable's abandoned commit dir.
+        **Validation is write-audit-publish** (VERDICT r2 "What's
+        wrong 2" + both ADVICE r2 rollback findings). The round-2 shape
+        — commit to main, validate, roll back on failure — had a crash
+        window LakeTable does not: a crash between the commit landing
+        and the rollback left an invalid snapshot as a CURRENT ANCESTOR
+        carrying its commit key, so the redelivery was silently skipped
+        and the bad rows persisted; on a first-ever commit the
+        DELETE-fallback was outright wrong (the truncating snapshot's
+        parent IS the invalid snapshot, keeping its key and watermark
+        summaries visible forever); and ``rollback_to_snapshot(pre)``
+        discarded concurrent disjoint-bucket commits that landed after
+        ``pre`` was captured. With WAP none of those states exist:
+
+        1. stage — ``CREATE OR REPLACE BRANCH`` at the current main
+           head (deterministic name from the commit key, so a crashed
+           attempt's stale branch is reset, never appended to);
+        2. write — the overwrite commits to the BRANCH, carrying its
+           summary props; main is untouched;
+        3. audit — ``validate`` runs against the branch read; failure
+           drops the branch (main never saw anything, the key is not a
+           main ancestor, the retry proceeds);
+        4. publish — ``fast_forward('main', branch)``: atomic, and it
+           FAILS if main advanced since the branch was forked — that
+           failure is surfaced as CommitConflict so the caller
+           re-merges on top of the concurrent commit instead of
+           clobbering it.
+
+        A crash at ANY point before step 4 leaves main exactly as it
+        was, with the commit key absent from ``committed_keys()`` (the
+        accessor reads current-ancestor summaries only); a crash after
+        step 4 has the data AND key atomically on main, so the
+        redelivery is a duplicate no-op. There is no state in which the
+        key is visible without its validated data.
         """
         if (
             expected_num_buckets is not None
@@ -239,22 +280,55 @@ class IcebergTable:
             return False
         if new_schema is not None:
             self._evolve_schema(new_schema)
-        pre = self.current_version()
 
-        writer = df.writeTo(self.identifier)
+        cond = F.col("_bucket").isin([int(b) for b in affected_buckets])
+        opts = {}
         if commit_key is not None:
-            writer = writer.option(f"snapshot-property.{COMMIT_KEY_PROP}", commit_key)
+            opts[f"snapshot-property.{COMMIT_KEY_PROP}"] = commit_key
         if watermark_lsn is not None:
-            writer = writer.option(
-                f"snapshot-property.{WATERMARK_PROP}",
-                str(max(watermark_lsn, self.watermark_lsn())),
+            opts[f"snapshot-property.{WATERMARK_PROP}"] = str(
+                max(watermark_lsn, self.watermark_lsn())
             )
         if snapshot_lsn is not None:
-            writer = writer.option(
-                f"snapshot-property.{SNAPSHOT_LSN_PROP}",
-                str(max(snapshot_lsn, self.snapshot_lsn())),
+            opts[f"snapshot-property.{SNAPSHOT_LSN_PROP}"] = str(
+                max(snapshot_lsn, self.snapshot_lsn())
             )
-        cond = F.col("_bucket").isin([int(b) for b in affected_buckets])
+
+        if validate is None:
+            # no audit step: one direct atomic commit to main
+            self._overwrite(df, self.identifier, opts, cond)
+            return True
+
+        branch = self._audit_branch_name(commit_key)
+        self._ensure_snapshot()  # branches need a snapshot to fork from
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} "
+            f"CREATE OR REPLACE BRANCH {branch}"
+        )
+        try:
+            self._overwrite(df, f"{self.identifier}.branch_{branch}", opts, cond)
+            if not validate():
+                return "invalid"
+            try:
+                self.spark.sql(
+                    f"CALL {self._catalog()}.system.fast_forward"
+                    f"('{self._table_path()}', 'main', '{branch}')"
+                )
+            except Exception as e:
+                # main advanced since the branch forked (a concurrent
+                # disjoint-bucket commit): publish would clobber it, so
+                # re-merge instead of resetting main (ADVICE r2)
+                raise CommitConflict(str(e)) from e
+            return True
+        finally:
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} DROP BRANCH IF EXISTS {branch}"
+            )
+
+    def _overwrite(self, df: DataFrame, target: str, opts: dict, cond) -> None:
+        writer = df.writeTo(target)
+        for k, v in opts.items():
+            writer = writer.option(k, v)
         try:
             writer.overwrite(cond)
         except Exception as e:
@@ -271,20 +345,28 @@ class IcebergTable:
                 raise CommitConflict(s) from e
             raise
 
-        if validate is not None and not validate():
-            if pre:
-                self.spark.sql(
-                    f"CALL {self._catalog()}.system.rollback_to_snapshot"
-                    f"('{self._table_path()}', {pre})"
-                )
-            else:
-                # first-ever commit: there is no snapshot to roll back
-                # to — undo by truncating (the summary key stays on the
-                # abandoned snapshot but is NOT a current ancestor, so
-                # committed_keys() ignores it and the retry proceeds)
-                self.spark.sql(f"DELETE FROM {self.identifier} WHERE true")
-            return "invalid"
-        return True
+    @staticmethod
+    def _audit_branch_name(commit_key: str | None) -> str:
+        """Deterministic per-commit-key branch name: a crashed attempt
+        retries with the SAME name and CREATE OR REPLACE resets the
+        stale branch to the fresh main head (no append-on-stale, no
+        branch leakage)."""
+        import hashlib
+        import uuid
+
+        seed = commit_key if commit_key is not None else uuid.uuid4().hex
+        return "dps_audit_" + hashlib.md5(seed.encode()).hexdigest()[:12]
+
+    def _ensure_snapshot(self) -> None:
+        """Branches fork from a snapshot; a freshly-created table has
+        none. Commit an empty append so ``main`` always has a head
+        (the ADVICE-r2 'initial empty commit' — also makes
+        current_version() never 0 once any commit path has run)."""
+        if self.current_version() == 0:
+            self.spark.sql(
+                f"INSERT INTO {self.identifier} "
+                f"SELECT * FROM {self.identifier} WHERE false"
+            )
 
     def _catalog(self) -> str:
         return self.identifier.split(".", 1)[0]

@@ -257,6 +257,10 @@ def apply_batch(
                 new_schema=with_system(merged) if evolved else None,
                 validate=validate,
                 expected_num_buckets=nb,
+                # snapshot keys are pinned: their events escape the
+                # lsn > watermark replay filter, so only the key blocks
+                # a very late redelivery (see lake.MAX_COMMIT_KEYS)
+                pin_key=watermark_kind == "snapshot",
                 **wm_kwargs,
             )
         except CommitConflict:
@@ -291,6 +295,7 @@ def apply_batch(
                 validate=validate,
                 read_version=read_version,
                 expected_num_buckets=nb,
+                pin_key=watermark_kind == "snapshot",
                 **wm_kwargs,
             )
         except CommitConflict:

@@ -43,14 +43,23 @@ from pyspark.sql.types import BooleanType, StructField, StructType
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
-#: Commit-key retention (SCALING.md: unbounded manifest growth). Keys
-#: are only ever re-presented by (a) the crashed-epoch retry — always
-#: the newest key — or (b) a stream batch redelivered after checkpoint
-#: loss, whose events the LSN watermark filter empties out BEFORE the
-#: key matters (apply_batch returns empty_batch). Keeping the most
-#: recent keys therefore preserves exactly-once while bounding the
-#: manifest; epoch resume parses max(epoch) which eviction of OLDER
-#: keys cannot change.
+#: Commit-key retention (SCALING.md: unbounded manifest growth). WAL
+#: keys are only ever re-presented by (a) the crashed-epoch retry —
+#: always the newest key — or (b) a stream batch redelivered after
+#: checkpoint loss, whose events the LSN watermark filter empties out
+#: BEFORE the key matters (apply_batch returns empty_batch). Keeping
+#: the most recent WAL keys therefore preserves exactly-once while
+#: bounding the manifest; epoch resume parses max(epoch) which eviction
+#: of OLDER keys cannot change.
+#:
+#: SNAPSHOT keys are exempt (``pin_key`` — ADVICE r2): snapshot-phase
+#: events carry lsn == the snapshot watermark, which the callers'
+#: ``lsn > watermark_lsn`` replay filter does NOT cover, so a snapshot
+#: batch redelivered after >MAX_COMMIT_KEYS later commits would re-merge
+#: (CoW: wasted rewrite + tie-guard churn) or append duplicate tied
+#: delta rows (MoR: clause (d) of the _resolve_mor tie-free proof
+#: violated). Pinned keys live in ``pinned_keys``, never evicted;
+#: growth is one key per snapshot epoch — rare by construction.
 MAX_COMMIT_KEYS = 512
 
 
@@ -92,7 +101,11 @@ def _resolve_mor(base: DataFrame, deltas: DataFrame, key: str = "doc_id") -> Dat
     (snapshot_lsn keeps snapshot watermarks strictly increasing); (c) a
     WAL row and a snapshot row CAN share an lsn but never an _ord
     (op_rank 'r'=0 vs >=1); (d) exact redeliveries are blocked by the
-    commit key before any file is written. A round-1 dropDuplicates
+    commit key before any file is written — clause (d) depends on
+    snapshot keys being PINNED (never evicted by the MAX_COMMIT_KEYS
+    cap): WAL redeliveries are additionally emptied by the watermark
+    filter, snapshot redeliveries are not, so only the pinned key
+    stands between a late snapshot redelivery and tied delta rows. A round-1 dropDuplicates
     here compiled to SortAggregate over wide token rows on EVERY
     delta-bucket read — the exact plan the write path paid to remove."""
     allc = base.unionByName(deltas).withColumn(
@@ -211,7 +224,8 @@ class LakeTable:
         return self.manifest()["bucket_key"]
 
     def committed_keys(self) -> set[str]:
-        return set(self.manifest()["commit_keys"])
+        man = self.manifest()
+        return set(man["commit_keys"]) | set(man.get("pinned_keys", []))
 
     def watermark_lsn(self) -> int:
         return self.manifest().get("watermark_lsn", -1)
@@ -348,6 +362,7 @@ class LakeTable:
         max_retries: int = 5,
         validate=None,
         expected_num_buckets: int | None = None,
+        pin_key: bool = False,
     ) -> bool | str:
         """Merge-on-read commit: append ``df`` (batch winners INCLUDING
         delete tombstones, carrying ``_bucket`` and ``_is_delete``) as
@@ -375,7 +390,9 @@ class LakeTable:
                     f"num_buckets changed {expected_num_buckets} -> "
                     f"{man['num_buckets']}; re-bucket and re-merge"
                 )
-            if commit_key is not None and commit_key in set(man["commit_keys"]):
+            if commit_key is not None and commit_key in (
+                set(man["commit_keys"]) | set(man.get("pinned_keys", []))
+            ):
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 return False
             new_man = {
@@ -384,8 +401,11 @@ class LakeTable:
                 "parent": man["version"],
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": (
-                    man["commit_keys"] + ([commit_key] if commit_key else [])
+                    man["commit_keys"]
+                    + ([commit_key] if commit_key and not pin_key else [])
                 )[-MAX_COMMIT_KEYS:],
+                "pinned_keys": man.get("pinned_keys", [])
+                + ([commit_key] if commit_key and pin_key else []),
                 "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }
@@ -432,6 +452,7 @@ class LakeTable:
         read_version: int | None = None,
         new_num_buckets: int | None = None,
         expected_num_buckets: int | None = None,
+        pin_key: bool = False,
     ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
@@ -493,7 +514,9 @@ class LakeTable:
                         f"buckets {sorted(overlap)} were modified since "
                         f"v{read_version}; caller must re-read and re-merge"
                     )
-            if commit_key is not None and commit_key in set(man["commit_keys"]):
+            if commit_key is not None and commit_key in (
+                set(man["commit_keys"]) | set(man.get("pinned_keys", []))
+            ):
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 return False
             new_man = {
@@ -503,8 +526,11 @@ class LakeTable:
                 "buckets": {**man["buckets"]},
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": (
-                    man["commit_keys"] + ([commit_key] if commit_key else [])
+                    man["commit_keys"]
+                    + ([commit_key] if commit_key and not pin_key else [])
                 )[-MAX_COMMIT_KEYS:],
+                "pinned_keys": man.get("pinned_keys", [])
+                + ([commit_key] if commit_key and pin_key else []),
                 "touched": sorted(int(b) for b in affected_buckets),
                 "ts": time.time(),
             }

@@ -301,3 +301,67 @@ def test_crashed_snapshot_epoch_resumes_same_epoch(spark, tmp_warehouse):
     # and the claim is now released
     st = runner2.tracker.state(cfg.pipeline_id)
     assert not st["under_snapshot"].any()
+
+
+# ---------------------------------------------------------------------------
+# 4. (r2) snapshot commit keys must survive MAX_COMMIT_KEYS eviction
+# ---------------------------------------------------------------------------
+def _snap_row(doc_id, lsn, tokens):
+    b = bucket_id_py(doc_id, NB)
+    return ("r", doc_id, lsn, "true", f"tokens/{b:04d}",
+            (doc_id, tokens, len(tokens), "snap"))
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_snapshot_commit_key_pinned_past_eviction(
+    spark, tmp_warehouse, monkeypatch, mode
+):
+    """ADVICE r2 (low, lake.py MAX_COMMIT_KEYS): snapshot-phase events
+    carry lsn == the snapshot watermark, which the callers'
+    lsn > watermark filter does NOT cover — so if the snapshot's commit
+    key were evicted by the cap, a very late redelivery would re-merge
+    (CoW) or append tied duplicate delta rows (MoR). Snapshot keys are
+    pinned; WAL keys still rotate under the cap."""
+    from debezium_partial_snapshotter_spark.plans import lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MAX_COMMIT_KEYS", 4)
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, f"t_{mode}"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    snap_rows = [_snap_row("doc-a", 100, [1, 2]), _snap_row("doc-b", 100, [3])]
+    snap = spark.createDataFrame(snap_rows, CHANGE_EVENT_SCHEMA)
+    s = apply_batch(
+        table, snap, commit_key="p1:snapshot:0",
+        write_mode=mode, watermark_kind="snapshot",
+    )
+    assert s["applied"]
+
+    # way more WAL commits than the (patched) cap
+    for i in range(6):
+        ev = spark.createDataFrame(
+            [_event_row("doc-a", 200 + i, "u", tokens=[7, i])],
+            CHANGE_EVENT_SCHEMA,
+        )
+        assert apply_batch(
+            table, ev, commit_key=f"p1:tail:{i}", write_mode=mode
+        )["applied"]
+
+    man = table.manifest()
+    assert len(man["commit_keys"]) <= 4
+    assert "p1:tail:0" not in man["commit_keys"]  # cap really evicted
+    assert "p1:snapshot:0" in man.get("pinned_keys", [])  # but not this
+
+    rows_before = table.read(spark).count()
+    v_before = table.current_version()
+    # the late snapshot redelivery: must be a keyed no-op, NOT a
+    # re-merge/duplicate-append
+    s2 = apply_batch(
+        table, snap, commit_key="p1:snapshot:0",
+        write_mode=mode, watermark_kind="snapshot",
+    )
+    assert not s2["applied"] and s2["reason"] == "duplicate_commit_key"
+    assert table.current_version() == v_before
+    assert table.read(spark).count() == rows_before
+    got = table.read(spark).where(F.col("doc_id") == "doc-a").collect()
+    assert len(got) == 1  # MoR read emits no tied duplicates
+    assert got[0]["_lsn"] == 205

@@ -109,12 +109,23 @@ def apply_batch(
         return {"applied": False, "reason": "duplicate_commit_key"}
 
     nb = table.num_buckets
+    # Effective bucket assignment + the layout token it was planned
+    # under: during an ONLINE incremental rescale the two differ from
+    # plain md5 % nb, and a split landing between here and the commit
+    # turns the commit into CommitConflict (re-bucket + re-merge)
+    # instead of silently misplacing rows.
+    bexpr = (
+        table.bucket_expr(F.col("doc_id"))
+        if hasattr(table, "bucket_expr")
+        else bucket_id(F.col("doc_id"), nb)
+    )
+    layout = table.layout_token() if hasattr(table, "layout_token") else None
 
     # ---- 1. plan: per-bucket row counts + LSN ranges. A cheap scan —
     # column-pruned to (doc_id, lsn), partial-aggregated to <= nb rows
     # per map task. Feeds bucket pruning AND per-partition lineage.
     per_bucket = (
-        events.groupBy(bucket_id(F.col("doc_id"), nb).alias("_b"))
+        events.groupBy(bexpr.alias("_b"))
         .agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx"))
         .collect()
     )
@@ -246,9 +257,9 @@ def apply_batch(
     )
     if write_mode == "mor":
         # keep tombstones: a delta delete must shadow older base rows
-        new_content = winners.withColumn(
-            "_bucket", bucket_id(F.col("doc_id"), nb)
-        ).observe(obs, F.count(F.lit(1)).alias("rows_live"))
+        new_content = winners.withColumn("_bucket", bexpr).observe(
+            obs, F.count(F.lit(1)).alias("rows_live")
+        )
         try:
             applied = table.append_deltas(
                 new_content,
@@ -257,6 +268,7 @@ def apply_batch(
                 new_schema=with_system(merged) if evolved else None,
                 validate=validate,
                 expected_num_buckets=nb,
+                expected_layout=layout,
                 # snapshot keys are pinned: their events escape the
                 # lsn > watermark replay filter, so only the key blocks
                 # a very late redelivery (see lake.MAX_COMMIT_KEYS)
@@ -283,7 +295,7 @@ def apply_batch(
         new_content = (
             winners.where(~F.col("_is_delete"))
             .drop("_is_delete")
-            .withColumn("_bucket", bucket_id(F.col("doc_id"), nb))
+            .withColumn("_bucket", bexpr)
             .observe(obs, F.count(F.lit(1)).alias("rows_live"))
         )
         try:
@@ -295,6 +307,7 @@ def apply_batch(
                 validate=validate,
                 read_version=read_version,
                 expected_num_buckets=nb,
+                expected_layout=layout,
                 pin_key=watermark_kind == "snapshot",
                 **wm_kwargs,
             )

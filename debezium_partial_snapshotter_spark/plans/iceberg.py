@@ -135,6 +135,16 @@ class IcebergTable:
     def bucket_key(self) -> str:
         return self._props().get("dps.bucket-key", "doc_id")
 
+    def layout_token(self) -> str:
+        """Contract parity with LakeTable: Iceberg has no incremental
+        split state, so the layout is just the bucket count."""
+        return str(self.num_buckets)
+
+    def bucket_expr(self, key):
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        return bucket_id(key, self.num_buckets)
+
     def schema(self, version: int | None = None) -> StructType:
         # version 0 is the "no snapshot yet" sentinel (current_version of
         # an empty table) — Iceberg has no snapshot id 0 to pin
@@ -222,6 +232,7 @@ class IcebergTable:
         read_version: int | None = None,
         expected_num_buckets: int | None = None,
         pin_key: bool = False,
+        expected_layout: str | None = None,
     ) -> bool | str:
         """Atomic overwrite of the affected partitions: one Iceberg
         commit carrying data + commit key + watermark summary props.
@@ -275,6 +286,11 @@ class IcebergTable:
             raise CommitConflict(
                 f"num_buckets changed {expected_num_buckets} -> "
                 f"{self.num_buckets}; re-bucket and re-merge"
+            )
+        if expected_layout is not None and expected_layout != self.layout_token():
+            raise CommitConflict(
+                f"bucket layout changed {expected_layout} -> "
+                f"{self.layout_token()}; re-bucket and re-merge"
             )
         if commit_key is not None and commit_key in self.committed_keys():
             return False

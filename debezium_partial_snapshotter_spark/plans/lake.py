@@ -227,6 +227,47 @@ class LakeTable:
         man = self.manifest()
         return set(man["commit_keys"]) | set(man.get("pinned_keys", []))
 
+    # ----------------------------------------------------- bucket layout
+    @staticmethod
+    def _layout_of(man: dict) -> str:
+        """Opaque token identifying the EFFECTIVE bucketing: the bucket
+        count plus, mid-incremental-rescale, the set of already-split
+        buckets. Writers capture it at plan time and pass it as
+        ``expected_layout``; a commit under a changed token would place
+        rows in entries that disagree with the new bucket function, so
+        it raises CommitConflict instead (re-bucket + re-merge). A
+        rescale whose ``done`` set is still empty is behaviorally
+        identical to the plain layout and keeps the plain token — in-
+        flight writers are not spuriously conflicted by begin_rescale."""
+        rs = man.get("rescale")
+        if not rs or not rs.get("done"):
+            return str(man["num_buckets"])
+        done = ",".join(str(b) for b in sorted(rs["done"]))
+        return f"{man['num_buckets']}->{rs['to']}:{done}"
+
+    def layout_token(self) -> str:
+        return self._layout_of(self.manifest())
+
+    def bucket_expr(self, key: "F.Column"):
+        """Effective bucket assignment, honoring an in-flight
+        incremental rescale (linear-hashing style): keys whose OLD
+        bucket has been split route to md5 % new_count, everyone else
+        stays on md5 % old_count. Because the new count is a multiple
+        of the old, a key's new bucket id is always ``old_b + i*nb`` —
+        entry ids never collide across the two numberings."""
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        man = self.manifest()
+        nb = man["num_buckets"]
+        rs = man.get("rescale")
+        if not rs or not rs.get("done"):
+            return bucket_id(key, nb)
+        old = bucket_id(key, nb)
+        new = bucket_id(key, rs["to"])
+        return F.when(
+            old.isin([int(b) for b in rs["done"]]), new
+        ).otherwise(old)
+
     def watermark_lsn(self) -> int:
         return self.manifest().get("watermark_lsn", -1)
 
@@ -363,6 +404,7 @@ class LakeTable:
         validate=None,
         expected_num_buckets: int | None = None,
         pin_key: bool = False,
+        expected_layout: str | None = None,
     ) -> bool | str:
         """Merge-on-read commit: append ``df`` (batch winners INCLUDING
         delete tombstones, carrying ``_bucket`` and ``_is_delete``) as
@@ -389,6 +431,18 @@ class LakeTable:
                 raise CommitConflict(
                     f"num_buckets changed {expected_num_buckets} -> "
                     f"{man['num_buckets']}; re-bucket and re-merge"
+                )
+            if (
+                expected_layout is not None
+                and self._layout_of(man) != expected_layout
+            ):
+                # an incremental split landed since this batch was
+                # bucketed: its delta rows would sit in entries the new
+                # bucket function no longer maps those keys to
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"bucket layout changed {expected_layout} -> "
+                    f"{self._layout_of(man)}; re-bucket and re-merge"
                 )
             if commit_key is not None and commit_key in (
                 set(man["commit_keys"]) | set(man.get("pinned_keys", []))
@@ -453,6 +507,8 @@ class LakeTable:
         new_num_buckets: int | None = None,
         expected_num_buckets: int | None = None,
         pin_key: bool = False,
+        expected_layout: str | None = None,
+        manifest_update: dict | None = None,
     ) -> bool | str:
         """Copy-on-write commit: atomically swap the file lists of
         ``affected_buckets`` for freshly-written parquet of ``df``.
@@ -499,6 +555,15 @@ class LakeTable:
                     f"num_buckets changed {expected_num_buckets} -> "
                     f"{man['num_buckets']}; re-bucket and re-merge"
                 )
+            if (
+                expected_layout is not None
+                and self._layout_of(man) != expected_layout
+            ):
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"bucket layout changed {expected_layout} -> "
+                    f"{self._layout_of(man)}; re-bucket and re-merge"
+                )
             if expected_version is not None and man["version"] != expected_version:
                 shutil.rmtree(commit_dir, ignore_errors=True)
                 raise CommitConflict(
@@ -543,6 +608,12 @@ class LakeTable:
                 new_man["deltas"].pop(b, None)
             if new_num_buckets is not None:
                 new_man["num_buckets"] = int(new_num_buckets)
+            if manifest_update:
+                for k, v in manifest_update.items():
+                    if v is None:
+                        new_man.pop(k, None)
+                    else:
+                        new_man[k] = v
             if new_schema is not None:
                 new_man["schema"] = json.loads(new_schema.json())
             if watermark_lsn is not None:
@@ -566,12 +637,16 @@ class LakeTable:
         """Full rewrite (bootstrap loads / tiny control tables)."""
         nb = self.num_buckets
         key = self.bucket_key
-        from debezium_partial_snapshotter_spark.functions import bucket_id
-
-        staged = df.withColumn("_bucket", bucket_id(F.col(key), nb))
+        man = self.manifest()
+        staged = df.withColumn("_bucket", self.bucket_expr(F.col(key)))
+        affected = sorted(
+            set(range(nb))
+            | {int(b) for b in man.get("buckets", {})}
+            | {int(b) for b in man.get("deltas", {})}
+        )
         self.replace_buckets(
             staged,
-            affected_buckets=list(range(nb)),
+            affected_buckets=affected,
             new_schema=new_schema,
         )
 
@@ -597,18 +672,29 @@ class LakeTable:
 
         for attempt in range(max_retries):
             base_version = self.current_version()
-            old_nb = self.manifest(base_version)["num_buckets"]
-            key = self.manifest(base_version).get("bucket_key", "doc_id")
+            man = self.manifest(base_version)
+            old_nb = man["num_buckets"]
+            key = man.get("bucket_key", "doc_id")
             df = self.read(spark, version=base_version).withColumn(
                 "_bucket", bucket_id(F.col(key), new_num_buckets)
+            )
+            # cover every existing entry (an in-flight incremental
+            # rescale may have entries above both bucket counts) and
+            # clear any half-done transition state — the full rewrite
+            # lands everything under the new layout in one commit
+            affected = sorted(
+                set(range(max(old_nb, new_num_buckets)))
+                | {int(b) for b in man.get("buckets", {})}
+                | {int(b) for b in man.get("deltas", {})}
             )
             try:
                 applied = self.replace_buckets(
                     df,
-                    affected_buckets=list(range(max(old_nb, new_num_buckets))),
+                    affected_buckets=affected,
                     commit_key=commit_key,
                     expected_version=base_version,
                     new_num_buckets=new_num_buckets,
+                    manifest_update={"rescale": None},
                 )
                 return {
                     "applied": applied,
@@ -621,6 +707,120 @@ class LakeTable:
                 time.sleep(0.05 * (attempt + 1))
         return {"applied": False}
 
+    def begin_rescale(
+        self, new_num_buckets: int, max_retries: int = 5
+    ) -> dict:
+        """Open an ONLINE incremental rescale (VERDICT r2 next-4): the
+        table keeps serving reads and applying tail batches while
+        ``split_bucket`` migrates one bucket per commit; the last split
+        finalizes ``num_buckets`` automatically.
+
+        Linear-hashing invariant making this safe: ``new_num_buckets``
+        must be a multiple of the current count, so a key in old bucket
+        b can only move to ``b + i*nb`` — entry ids from the two
+        numberings never collide, and the effective bucket function
+        (``bucket_expr``) is decidable per key from the ``done`` set
+        alone. Concurrent appliers capture ``layout_token()`` at plan
+        time; a split landing under them turns their commit into
+        CommitConflict -> re-bucket + re-merge (never silent
+        misplacement). Arbitrary bucket counts go through the offline
+        full-rewrite ``rescale``."""
+        nb = self.num_buckets
+        new = int(new_num_buckets)
+        if new == nb:
+            return {"applied": False, "reason": "noop"}
+        if new % nb != 0 or new < nb:
+            raise ValueError(
+                f"online rescale requires a multiple of {nb} (got {new}); "
+                "use rescale() for arbitrary counts"
+            )
+        for attempt in range(max_retries):
+            man = self.manifest()
+            rs = man.get("rescale")
+            if rs:
+                if rs["to"] == new:
+                    return {"applied": False, "reason": "in_progress"}
+                raise CommitConflict(
+                    f"another rescale to {rs['to']} is in progress"
+                )
+            new_man = {
+                **man,
+                "version": man["version"] + 1,
+                "parent": man["version"],
+                "rescale": {"to": new, "done": []},
+                "touched": [],  # metadata-only: conflicts with no one
+                "ts": time.time(),
+            }
+            try:
+                self._write_manifest(new_man)
+                return {"applied": True, "from_buckets": nb, "to_buckets": new}
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return {"applied": False}
+
+    def split_bucket(
+        self,
+        spark: SparkSession,
+        bucket: int,
+        commit_key: str | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Migrate ONE bucket of an open incremental rescale: rewrite
+        entry ``bucket`` (MoR deltas folded) into its ``to/nb`` child
+        entries and mark it done — a bucket-sized job, CAS'd on the
+        version it read, so tail batches into OTHER buckets commit
+        concurrently without conflict. At 100 TB this replaces the
+        table-sized offline rewrite with num_buckets independent
+        bucket-sized commits interleaved with live ingest."""
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        b = int(bucket)
+        for attempt in range(max_retries):
+            base_version = self.current_version()
+            man = self.manifest(base_version)
+            rs = man.get("rescale")
+            if not rs:
+                raise ValueError("no rescale in progress; call begin_rescale")
+            nb = man["num_buckets"]
+            to = rs["to"]
+            if not 0 <= b < nb:
+                raise ValueError(f"bucket {b} out of range 0..{nb - 1}")
+            if b in rs["done"]:
+                return {"applied": False, "reason": "already_split", "bucket": b}
+            key = man.get("bucket_key", "doc_id")
+            df = self.read(spark, buckets=[b], version=base_version).withColumn(
+                "_bucket", bucket_id(F.col(key), to)
+            )
+            new_ids = sorted(b + i * nb for i in range(to // nb))
+            done = sorted(set(rs["done"]) | {b})
+            finalize = len(done) == nb
+            try:
+                applied = self.replace_buckets(
+                    df,
+                    affected_buckets=new_ids,  # includes b itself (i=0)
+                    commit_key=commit_key,
+                    read_version=base_version,
+                    new_num_buckets=to if finalize else None,
+                    manifest_update={
+                        "rescale": None if finalize else {"to": to, "done": done}
+                    },
+                )
+                return {
+                    "applied": applied,
+                    "bucket": b,
+                    "new_ids": new_ids,
+                    "finalized": finalize,
+                }
+            except CommitConflict:
+                # a concurrent apply touched this bucket: re-read its
+                # (new) content and retry the split
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return {"applied": False, "bucket": b}
+
     # ------------------------------------------------------------ utility
     def to_pandas(self, spark: SparkSession):
         return self.read(spark).toPandas()
@@ -631,8 +831,6 @@ class LakeTable:
         """Small-file maintenance: rewrite every bucket holding >=
         min_files data files into one file each (Iceberg rewrite_data_files
         analog). A no-op when the layout is already tight."""
-        from debezium_partial_snapshotter_spark.functions import bucket_id
-
         base_version = self.current_version()
         man = self.manifest(base_version)
         targets = sorted(
@@ -646,7 +844,7 @@ class LakeTable:
         if not targets:
             return {"compacted_buckets": [], "applied": False}
         df = self.read(spark, buckets=targets, version=base_version).withColumn(
-            "_bucket", bucket_id(F.col(self.bucket_key), self.num_buckets)
+            "_bucket", self.bucket_expr(F.col(self.bucket_key))
         )
         # strict CAS on the version the new base was computed from: a
         # concurrent delta commit makes this raise instead of being

@@ -132,3 +132,122 @@ def test_apply_rebuckets_on_concurrent_rescale(spark, tmp_warehouse):
         assert d in found, (d, b)
     got = {r["doc_id"]: r["_lsn"] for r in table.read(spark).collect()}
     assert got["k1"] == 99 and got["zz"] == 100 and len(got) == 13
+
+
+# ---------------------------------------------------------------------------
+# ONLINE incremental rescale (VERDICT r2 next-4): one bucket per commit,
+# tail batches keep applying between splits
+# ---------------------------------------------------------------------------
+def test_online_rescale_interleaved_with_tail_batches(spark, tmp_warehouse):
+    t = empty_table_for(os.path.join(tmp_warehouse, "ol"), TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 100 + i) for i in range(40)]
+    assert apply_batch(t, _events(spark, rows), commit_key="p:0")["applied"]
+    expected = {f"k{i}": 100 + i for i in range(40)}
+
+    assert t.begin_rescale(8)["applied"] is True
+    assert t.num_buckets == 4  # not finalized yet
+
+    lsn = 1000
+    for b in range(4):
+        # a live tail batch BETWEEN splits: updates keys in split AND
+        # unsplit buckets, a delete, and a brand-new key — alternating
+        # cow and mor write modes
+        batch = [
+            ("u", f"k{b}", lsn),
+            ("u", f"k{b + 20}", lsn + 1),
+            ("d", f"k{b + 30}", lsn + 2),
+            ("u", f"new{b}", lsn + 3),
+        ]
+        mode = "mor" if b % 2 else "cow"
+        assert apply_batch(
+            t, _events(spark, batch), commit_key=f"p:tail:{b}", write_mode=mode
+        )["applied"]
+        expected[f"k{b}"] = lsn
+        expected[f"k{b + 20}"] = lsn + 1
+        del expected[f"k{b + 30}"]
+        expected[f"new{b}"] = lsn + 3
+        lsn += 10
+
+        out = t.split_bucket(spark, b, commit_key=f"p:split:{b}")
+        assert out["applied"] is True and out["bucket"] == b
+        assert out["new_ids"] == [b, b + 4]
+        # mid-transition reads stay complete and correct
+        got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+        assert got == expected, f"after split {b}"
+
+    assert t.num_buckets == 8
+    assert "rescale" not in t.manifest()  # finalized by the last split
+    man = t.manifest()
+    assert all(0 <= int(x) < 8 for x in man["buckets"])
+
+    # pruning follows the NEW bucket function for every surviving key
+    for d in list(expected)[:6]:
+        nb8 = bucket_id_py(d, 8)
+        found = {r["doc_id"] for r in t.read(spark, buckets=[nb8]).collect()}
+        assert d in found
+        assert all(bucket_id_py(x, 8) == nb8 for x in found)
+
+    # post-finalize applies use the new layout directly
+    assert apply_batch(
+        t, _events(spark, [("u", "k0", 9999)]), commit_key="p:after"
+    )["applied"]
+    assert {r["_lsn"] for r in t.read(spark).where("doc_id = 'k0'").collect()} == {9999}
+    # re-running the orchestration after completion is a no-op
+    assert t.begin_rescale(8)["reason"] == "noop"
+
+
+def test_online_rescale_validates_multiple(spark, tmp_warehouse):
+    import pytest as _pytest
+
+    t = empty_table_for(os.path.join(tmp_warehouse, "olv"), TOKENS_SCHEMA, 4)
+    with _pytest.raises(ValueError, match="multiple"):
+        t.begin_rescale(6)
+    assert t.begin_rescale(8)["applied"]
+    # double-begin with a different target refuses; same target resumes
+    from debezium_partial_snapshotter_spark.plans.lake import CommitConflict
+
+    with _pytest.raises(CommitConflict, match="in progress"):
+        t.begin_rescale(16)
+    assert t.begin_rescale(8)["reason"] == "in_progress"
+    # split twice is idempotent-by-state
+    assert t.split_bucket(spark, 1)["applied"] is True
+    assert t.split_bucket(spark, 1)["reason"] == "already_split"
+
+
+def test_apply_remerges_when_split_lands_mid_commit(spark, tmp_warehouse):
+    """A split of bucket b landing between an apply's planning and its
+    commit changes the layout token: the apply must re-bucket +
+    re-merge (CommitConflict path), never place rows under the old
+    numbering."""
+    from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+
+    path = os.path.join(tmp_warehouse, "olr")
+    t = empty_table_for(path, TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 10 + i) for i in range(16)]
+    apply_batch(t, _events(spark, rows), commit_key="p:0")
+    assert t.begin_rescale(8)["applied"]
+
+    other = LakeTable(path)
+    orig = t.replace_buckets
+    fired = {"n": 0}
+
+    def hook(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            for b in range(4):
+                other.split_bucket(spark, b, commit_key=f"q:split:{b}")
+        return orig(*a, **kw)
+
+    t.replace_buckets = hook
+    stats = apply_batch(
+        t, _events(spark, [("u", "k1", 99), ("u", "zz", 100)]), commit_key="p:1"
+    )
+    t.replace_buckets = orig
+    assert stats["applied"] is True
+    assert t.num_buckets == 8
+
+    got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert got["k1"] == 99 and got["zz"] == 100 and len(got) == 17
+    for d in ["k1", "zz", "k7"]:
+        b8 = bucket_id_py(d, 8)
+        assert d in {r["doc_id"] for r in t.read(spark, buckets=[b8]).collect()}

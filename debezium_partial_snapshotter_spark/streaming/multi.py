@@ -19,9 +19,11 @@ target table per runner; this runner generalizes:
   is shared across tables (max over sources' WAL heads and every
   table's applied/snapshot marks) — the Spark analog of one exported
   snapshot covering all tables of a connector.
-- **shared WAL, routed by table**: sources may share a change-event
-  feed; events are routed to their table by the ``table_partition``
-  prefix, and each table keeps its own ``watermark_lsn`` replay filter.
+- **shared OR separate feeds**: sources may share one change-event
+  feed (``stream`` routes each micro-batch by the ``table_partition``
+  prefix) or carry independent logs (``stream_per_table`` runs one
+  readStream per table concurrently); each table keeps its own
+  ``watermark_lsn`` replay filter either way.
 
 Per-table lakes stay independently committable/readable — a user of
 table A never waits on table B's files.
@@ -331,3 +333,76 @@ class MultiTableIngestRunner:
             if q.isActive:
                 q.stop()
         return q
+
+    def stream_per_table(
+        self,
+        process_all_available: bool = True,
+        timeout_sec: float | None = 120.0,
+        tables: list[str] | None = None,
+    ) -> dict:
+        """Tables with INDEPENDENT change logs stream concurrently
+        (VERDICT r2 next-6): one readStream per table over that table's
+        own feed, each with its own checkpoint subdirectory, all
+        applying in parallel on the driver's streaming threads.
+
+        Exactly-once per table is unchanged — batch ids are scoped to
+        each query's checkpoint and the commit key
+        ``pid:stream:{batch_id}:{table}`` is scoped per table, so a
+        replay after checkpoint loss hits that table's manifest key (or
+        its watermark filter) exactly like the single-feed path. The
+        shared epoch counter and the metrics/commit logs are the only
+        cross-table state; both are guarded by one lock (driver-side,
+        scalar work only — the data plane never serializes on it).
+
+        Returns {table: StreamingQuery}; with ``process_all_available``
+        each query is drained (availableNow) before returning."""
+        import threading
+
+        runner = self
+        lock = threading.Lock()
+
+        def make_handle(t: str):
+            def handle(batch_df: DataFrame, batch_id: int):
+                table = runner.tables[t]
+                wm = table.watermark_lsn()
+                events = runner._route(batch_df, t).where(
+                    F.col("lsn") > F.lit(wm)
+                )
+                key = f"{runner.cfg.pipeline_id}:stream:{batch_id}:{t}"
+                if key in table.committed_keys():
+                    return
+                stats = apply_batch(
+                    table,
+                    events,
+                    commit_key=key,
+                    dedup_strategy=runner.cfg.dedup_strategy,
+                    salt_buckets=runner.cfg.salt_buckets,
+                    write_mode=runner.cfg.write_mode,
+                )
+                stats["commit_key"] = key
+                if stats.get("applied"):
+                    with lock:
+                        runner._record("tail", t, stats)
+                        runner._epoch += 1
+
+            return handle
+
+        queries = {}
+        for t in sorted(tables or self.sources):
+            queries[t] = (
+                self.sources[t]
+                .wal_stream(self.cfg.max_files_per_trigger)
+                .writeStream.foreachBatch(make_handle(t))
+                .option(
+                    "checkpointLocation", f"{self.cfg.checkpoint_dir}/{t}"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+        if process_all_available:
+            for q in queries.values():
+                q.awaitTermination(timeout_sec)
+            for q in queries.values():
+                if q.isActive:
+                    q.stop()
+        return queries

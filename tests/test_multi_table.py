@@ -214,3 +214,51 @@ def test_multi_table_crash_resumes_same_epoch(spark, tmp_warehouse, monkeypatch)
     )
     st = runner2.tracker.state(cfg.pipeline_id)
     assert not st["under_snapshot"].any()
+
+def test_multi_table_stream_per_table_separate_feeds(spark, tmp_warehouse):
+    """Tables with INDEPENDENT change logs (one readStream each,
+    per-table checkpoints) stream concurrently to the right tables
+    with per-table exactly-once (VERDICT r2 next-6)."""
+    wh = tmp_warehouse
+    specs, states, sources = {}, {}, {}
+    for t, (seed, lsn0) in TABLES.items():
+        spec = EventLogSpec(
+            n_docs=50, n_events=200, n_segments=2, seed=seed,
+            num_buckets=NB, table=t, start_lsn=lsn0,
+        )
+        specs[t] = spec
+        states[t] = generate_initial_state(spec)
+        state_path = os.path.join(wh, "source", f"{t}.parquet")
+        write_state(state_path, states[t])
+        log_dir = os.path.join(wh, "source", f"wal_{t}")  # DISJOINT dirs
+        os.makedirs(log_dir)
+        sources[t] = ParquetWalSource(
+            spark, state_path, log_dir, table=t, num_buckets=NB
+        )
+
+    runner, cfg = _runner(spark, wh, sources)
+    assert runner.start()["snapshot"]["applied"]
+
+    # each table's events land ONLY in its own feed
+    for t, spec in specs.items():
+        for i, seg in enumerate(generate_change_log(spec)):
+            pq.write_table(
+                seg, os.path.join(sources[t].log_dir, f"seg-{i:05d}.parquet")
+            )
+
+    queries = runner.stream_per_table(timeout_sec=180)
+    assert set(queries) == set(TABLES)
+    for t, spec in specs.items():
+        expected = oracle_apply(
+            [snapshot_read_events(states[t], spec.start_lsn, spec)]
+            + generate_change_log(spec)
+        )
+        assert_state_matches(spark, runner.tables[t], expected)
+        assert runner.tables[t].watermark_lsn() == max(
+            r["lsn"] for tab in generate_change_log(spec) for r in tab.to_pylist()
+        )
+
+    # draining again from the same checkpoints is a per-table no-op
+    versions = {t: runner.tables[t].current_version() for t in TABLES}
+    runner.stream_per_table(timeout_sec=180)
+    assert {t: runner.tables[t].current_version() for t in TABLES} == versions

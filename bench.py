@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "jaccard_pairs",
+    "near_dup_clusters",
     "simhash",
     "token_count",
     "quality_score",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ivf_topk",
     "embedding_near_dup",
+    "embedding_near_dup_clusters",
     "multimodal_meta",
     "frame_sample",
 ]
@@ -205,11 +207,14 @@ def main() -> None:
         "queries": qtimes,
         # round-1-comparable subtotal: jaccard_pairs and
         # embedding_near_dup joined the timed set in round 2 (jaccard's
-        # output is inherently ~8.9M rows at sf0.1)
+        # output is inherently ~8.9M rows at sf0.1), the *_clusters
+        # variants in round 3
         "core_sec": round(
             total
             - qtimes.get("jaccard_pairs", 0.0)
-            - qtimes.get("embedding_near_dup", 0.0),
+            - qtimes.get("embedding_near_dup", 0.0)
+            - qtimes.get("near_dup_clusters", 0.0)
+            - qtimes.get("embedding_near_dup_clusters", 0.0),
             3,
         ),
         "sf": sf,

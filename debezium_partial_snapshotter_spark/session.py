@@ -59,6 +59,18 @@ def get_spark(
             os.environ.get("DPS_IO_CODEC", "lz4"),
         )
     )
+    # DPS_OFFHEAP=<size>: Tungsten off-heap memory + off-heap parquet
+    # column vectors — the round-3 memory-bandwidth experiment (GC was
+    # 70x at local[32]; off-heap removes allocation/GC pressure from the
+    # scan+shuffle path). Off by default; BENCH/BASELINE.md records the
+    # measured verdict.
+    offheap = os.environ.get("DPS_OFFHEAP")
+    if offheap:
+        builder = (
+            builder.config("spark.memory.offHeap.enabled", "true")
+            .config("spark.memory.offHeap.size", offheap)
+            .config("spark.sql.columnVector.offheap.enabled", "true")
+        )
     # shuffle/spill on tmpfs when available (single-node harness);
     # cluster managers override via SPARK_LOCAL_DIRS
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):

@@ -802,6 +802,16 @@ class LakeTable:
                     affected_buckets=new_ids,  # includes b itself (i=0)
                     commit_key=commit_key,
                     read_version=base_version,
+                    # the layout guard is LOAD-BEARING here, not just
+                    # parity: manifest_update carries the done set
+                    # computed at base_version, and replace_buckets'
+                    # internal retry would otherwise re-apply it over a
+                    # CONCURRENT split's manifest — erasing that
+                    # split's done entry and hiding its child entries
+                    # from bucket_expr routing. Any layout change since
+                    # base therefore conflicts out to THIS loop, which
+                    # recomputes done from the fresh manifest.
+                    expected_layout=self._layout_of(man),
                     new_num_buckets=to if finalize else None,
                     manifest_update={
                         "rescale": None if finalize else {"to": to, "done": done}

@@ -251,3 +251,45 @@ def test_apply_remerges_when_split_lands_mid_commit(spark, tmp_warehouse):
     for d in ["k1", "zz", "k7"]:
         b8 = bucket_id_py(d, 8)
         assert d in {r["doc_id"] for r in t.read(spark, buckets=[b8]).collect()}
+
+
+def test_concurrent_splits_do_not_erase_each_other(spark, tmp_warehouse):
+    """Two split_bucket calls racing: the loser's manifest_update
+    carries a done-set computed from a stale base — without the layout
+    guard its internal commit retry would overwrite the winner's done
+    entry, hiding that bucket's child entries from bucket_expr routing.
+    The guard conflicts it out to the split loop, which recomputes."""
+    from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+
+    path = os.path.join(tmp_warehouse, "race")
+    t = empty_table_for(path, TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 100 + i) for i in range(40)]
+    assert apply_batch(t, _events(spark, rows), commit_key="p:0")["applied"]
+    assert t.begin_rescale(8)["applied"]
+
+    other = LakeTable(path)
+    orig = t.replace_buckets
+    fired = {"n": 0}
+
+    def hook(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            assert other.split_bucket(spark, 1, commit_key="q:s1")["applied"]
+        return orig(*a, **kw)
+
+    t.replace_buckets = hook
+    out = t.split_bucket(spark, 0, commit_key="p:s0")
+    t.replace_buckets = orig
+    assert out["applied"] is True
+
+    rs = t.manifest().get("rescale")
+    assert rs is not None and sorted(rs["done"]) == [0, 1]  # BOTH survive
+    assert t.read(spark).count() == 40
+    # every key is reachable through its EFFECTIVE bucket
+    for i in range(10):
+        d = f"k{i}"
+        b4 = bucket_id_py(d, 4)
+        eff = bucket_id_py(d, 8) if b4 in (0, 1) else b4
+        assert d in {
+            r["doc_id"] for r in t.read(spark, buckets=[eff]).collect()
+        }, (d, b4, eff)

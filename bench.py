@@ -35,6 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Off-heap Tungsten + off-heap parquet column vectors by default for
+# the bench: measured +59% best / +68% median replay throughput at
+# local[32] and neutral at local[8] (round-3 A/B, scripts/offheap_ab.py
+# — the GC/allocation wall was the 32-thread bottleneck). Override with
+# DPS_OFFHEAP=<size> or disable with DPS_OFFHEAP=0.
+os.environ.setdefault("DPS_OFFHEAP", "20g")
 
 BENCH_QUERIES = [
     "cdc_last_image",

@@ -65,7 +65,7 @@ def get_spark(
     # scan+shuffle path). Off by default; BENCH/BASELINE.md records the
     # measured verdict.
     offheap = os.environ.get("DPS_OFFHEAP")
-    if offheap:
+    if offheap and offheap.lower() not in ("0", "off", "false", "none"):
         builder = (
             builder.config("spark.memory.offHeap.enabled", "true")
             .config("spark.memory.offHeap.size", offheap)

@@ -111,6 +111,7 @@ def main():
         for m in ("cow", "mor")
         for c in (8, 32)
     )
+    offheap = os.environ.get("DPS_OFFHEAP", "unset")
     md = f"""# BENCH baseline — scaling evidence (final, interleaved)
 
 North-rule metric: change-events/sec applied replaying a deterministic
@@ -133,7 +134,7 @@ mor = {eff_med['mor']:.3f}.**
 - This is ONE shared VM (Firecracker guest), not two cluster sizes:
   local[8] and local[32] share a single memory bus, JVM heap, and page
   cache. Run-to-run variance of 25-50% was measured with identical
-  configs; per-run steal%% is reported above to quantify external host
+  configs; per-run steal% is reported above to quantify external host
   contention.
 - Profiling (Spark event logs, BENCH/PLANS.md) shows local[32] burning
   ~5x the task-CPU of local[8] for identical work with ~70x the GC
@@ -170,6 +171,25 @@ mor = {eff_med['mor']:.3f}.**
    scan reads only (op, doc_id, lsn, after.{{tokens,n_tok,source}}) —
    `snapshot`, `table_partition`, and even after.doc_id never leave
    the parquet reader; the planning scan reads (op, doc_id, lsn) only.
+
+## Round-3 engineering log
+
+8. OFF-HEAP column vectors + Tungsten off-heap memory
+   (`spark.memory.offHeap.*`, `spark.sql.columnVector.offheap.enabled`;
+   DPS_OFFHEAP knob, now the bench default at 20g): the one lever that
+   directly attacks the 32-thread GC/allocation wall. Interleaved A/B
+   (scripts/offheap_ab.py, 16.8M events, cow, steal% recorded per run):
+   local[32] best 139,500 -> 221,573 ev/s (+59%), median 114,709 ->
+   192,809 (+68%); local[8] neutral (best 278,917 -> 281,759, within
+   noise). Consistent with the r2 diagnosis: at 32 threads the heap
+   allocator/GC amplifies memory-bus pressure; moving scan vectors and
+   shuffle pages off-heap removes that amplification. This matrix below
+   runs with DPS_OFFHEAP={offheap}.
+9. Cluster-output near-dup (near_dup_clusters): the verified set-pair
+   graph goes through connected components (min-label propagation +
+   pointer jumping) instead of pair expansion — a 10^6-doc duplicate
+   group is ONE graph node and n output rows, vs n(n-1)/2 pair rows
+   from jaccard_pairs (kept as the debug view).
 
 `jaccard_pairs` (round 2): re-engineered and in the timed bench set.
 Candidates from MinHash LSH bands over one representative per DISTINCT

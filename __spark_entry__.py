@@ -25,6 +25,7 @@ from debezium_partial_snapshotter_spark.operators import dedup_docs as dd
 from debezium_partial_snapshotter_spark.operators import multimodal as mm
 from debezium_partial_snapshotter_spark.operators import similarity as sim
 from debezium_partial_snapshotter_spark.operators import text as tx
+from debezium_partial_snapshotter_spark.operators import windows as win
 
 NB = 16  # buckets used by the cdc_* demonstration queries
 
@@ -1078,6 +1079,60 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+def q_window_rollup(spark, sf_dir):
+    """Tumbling event-time windows (1 hour) per event_type — the batch
+    twin of the watermarked streaming rollup
+    (streaming/windows.py; brief: watermarks + windowed aggs)."""
+    return win.tumbling_rollup(
+        _t(spark, sf_dir, "events"), window="1 hour"
+    )
+
+
+SQL_WINDOW_ROLLUP = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_session_rollup(spark, sf_dir):
+    """Gap-based session windows (30 min) per user_id via Spark's
+    native session_window aggregation; session end = last event + gap.
+    The oracle reproduces the merge with a gaps-and-islands window
+    query (break when the gap is >= 30 min — Spark's session window is
+    end-exclusive, so an event at exactly last+gap starts a new
+    session)."""
+    return win.session_rollup(
+        _t(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+SQL_SESSION_ROLLUP = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM g
+GROUP BY user_id, sess
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_last_image": q_cdc_last_image,
@@ -1090,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catchup_backlog": q_catchup_backlog,
         "hot_key_histogram": q_hot_key_histogram,
         "salted_agg": q_salted_agg,
+        "window_rollup": q_window_rollup,
+        "session_rollup": q_session_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1121,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "catchup_backlog": SQL_CATCHUP_BACKLOG,
         "hot_key_histogram": SQL_HOT_KEY_HISTOGRAM,
         "salted_agg": SQL_SALTED_AGG,
+        "window_rollup": SQL_WINDOW_ROLLUP,
+        "session_rollup": SQL_SESSION_ROLLUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

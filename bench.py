@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "catchup_backlog",
     "hot_key_histogram",
     "salted_agg",
+    "window_rollup",
+    "session_rollup",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -1,0 +1,93 @@
+"""Event-time window rollups: tumbling windows and session windows.
+
+Batch twins of the watermarked Structured Streaming rollup in
+``streaming/windows.py`` (brief: "watermarks + windowed aggs for late
+data"). Both are single partial-aggregating shuffles:
+
+- ``tumbling_rollup`` groups by ``F.window(ts)`` + keys — the window
+  assignment is a pure projection, so the only shuffle is the groupBy,
+  and min/max/sum/count all combine map-side. At 100 TB this is the
+  same shape as any partial agg: each map task ships <= (windows x
+  keys) rows, never the events.
+- ``session_rollup`` uses Spark's native ``F.session_window`` (gap-based
+  merging inside the aggregation operator): one shuffle on the session
+  key, sessions merged per key without materializing per-event rows
+  post-shuffle. Session end = last event + gap (Spark semantics; the
+  DuckDB oracle reproduces it with a gaps-and-islands window query).
+
+Window bounds are emitted as epoch seconds (BIGINT) so results are
+engine-portable byte-for-byte (the session timezone is pinned to UTC in
+``session.get_spark``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch(col):
+    """Window bound -> epoch seconds. The intermediate cast to
+    (tz-aware) timestamp makes this valid for TIMESTAMP_NTZ inputs too
+    — parquet event-time columns commonly read back as NTZ, which
+    Spark refuses to cast to BIGINT directly. Session tz is UTC, so
+    the NTZ reinterpretation is the identity."""
+    return col.cast("timestamp").cast("long")
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour",
+    agg_col: str = "value",
+) -> DataFrame:
+    """Fixed-size aligned windows: (window_start, *keys) -> count/sum.
+
+    The window struct is projected then immediately flattened to an
+    epoch-second BIGINT so the shuffle key is primitive (same reasoning
+    as the 60-bit minhash move: primitive keys stay in whole-stage
+    codegen and halve the shuffle key bytes vs a struct).
+    """
+    w = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(agg_col).alias("sum_value"),
+        )
+        .select(
+            _epoch(F.col("w.start")).alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    agg_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the key is
+    silent for longer than ``gap``. Output one row per session with
+    Spark's session bounds (start = first event, end = last event +
+    gap, both as epoch seconds)."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(agg_col).alias("sum_value"),
+        )
+        .select(
+            key,
+            _epoch(F.col("w.start")).alias("session_start"),
+            _epoch(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,163 @@
+"""Event-time window rollups (operators/windows.py) and the
+watermarked streaming variant (streaming/windows.py).
+
+Pins: tumbling/session batch semantics vs hand-computed expectations,
+and the two late-data behaviors of the streaming rollup — a row later
+than the watermark is DROPPED from its (already finalized) window; a
+late row within the watermark still lands in its open window.
+"""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from debezium_partial_snapshotter_spark.operators.windows import (
+    session_rollup,
+    tumbling_rollup,
+)
+from debezium_partial_snapshotter_spark.streaming.windows import (
+    windowed_rollup_stream,
+)
+
+EV_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def T(h, m, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def epoch(h, m, s=0):
+    return int(T(h, m, s).replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_tumbling_rollup_batch(spark):
+    rows = [
+        (T(10, 0, 10), "A", 1.0),
+        (T(10, 0, 20), "A", 2.0),
+        (T(10, 0, 40), "B", 4.0),
+        (T(10, 5, 0), "B", 5.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_rollup(df, window="1 minute").collect()
+    }
+    assert out == {
+        (epoch(10, 0), "A"): (2, 3.0),
+        (epoch(10, 0), "B"): (1, 4.0),
+        (epoch(10, 5), "B"): (1, 5.0),
+    }
+
+
+def test_session_rollup_batch(spark):
+    # u1: two events 10 min apart (one session with 30-min gap), then a
+    # 40-min silence -> second session. u2: single event.
+    rows = [
+        (T(10, 0), "u1", 1.0),
+        (T(10, 10), "u1", 2.0),
+        (T(10, 50), "u1", 4.0),
+        (T(12, 0), "u2", 8.0),
+    ]
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in session_rollup(df, gap="30 minutes").collect()
+    )
+    # session end = last event + gap (Spark session_window semantics)
+    assert out == [
+        ("u1", epoch(10, 0), epoch(10, 40), 2, 3.0),
+        ("u1", epoch(10, 50), epoch(11, 20), 1, 4.0),
+        ("u2", epoch(12, 0), epoch(12, 30), 1, 8.0),
+    ]
+
+
+def _feed(path, i, rows):
+    t = pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, f"b{i:03d}.parquet"))
+
+
+def _run_stream(spark, tmp_warehouse, watermark, batches, sink_name):
+    src = os.path.join(tmp_warehouse, f"feed_{sink_name}")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_warehouse, f"ckpt_{sink_name}")
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    rolled = windowed_rollup_stream(
+        stream, window="1 minute", watermark=watermark
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            _feed(src, i, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {sink_name}").collect()
+    }
+
+
+BATCHES = [
+    # b1: two A rows in the 10:00 window; a 10:05 row pushes event time
+    [(T(10, 0, 10), "A", 1.0), (T(10, 0, 20), "A", 2.0), (T(10, 5, 0), "B", 5.0)],
+    # b2: a LATE A row for the 10:00 window + fresh 10:10 row
+    [(T(10, 0, 30), "A", 100.0), (T(10, 10, 0), "B", 7.0)],
+    # b3: far-future row finalizes everything through 10:10
+    [(T(11, 0, 0), "C", 1.0)],
+]
+
+
+def test_stream_drops_rows_later_than_watermark(spark, tmp_warehouse):
+    out = _run_stream(spark, tmp_warehouse, "1 minute", BATCHES, "wm_strict")
+    # watermark after b1 = 10:04 -> the b2 late row (10:00:30) is dropped
+    assert out[(epoch(10, 0), "A")] == (2, 3.0)
+    assert out[(epoch(10, 5), "B")] == (1, 5.0)
+    assert out[(epoch(10, 10), "B")] == (1, 7.0)
+    # the 11:00 window is still open (nothing advanced the watermark past it)
+    assert (epoch(11, 0), "C") not in out
+
+
+def test_stream_keeps_late_rows_within_watermark(spark, tmp_warehouse):
+    out = _run_stream(spark, tmp_warehouse, "20 minutes", BATCHES, "wm_loose")
+    # watermark after b1 = 09:45 -> the late 10:00:30 row still lands
+    assert out[(epoch(10, 0), "A")] == (3, 103.0)

@@ -163,7 +163,11 @@ def minhash_lsh_pairs(
     on the (band, bh) equi-key — a primitive BIGINT hash (see _banded),
     bucketable at scale, never a cross join."""
     sig = minhash_signatures(df, text_col, k, shingle_n)
-    banded = _banded(sig, k, bands)
+    # lineage-truncate before the self-join: both join branches consume
+    # banded, and without the checkpoint the whole shingle/minhash
+    # pipeline executes twice (Catalyst does not reuse exchanges across
+    # separately optimized subtrees).
+    banded = _banded(sig, k, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -205,16 +209,32 @@ def _jaccard_set_graph(
     expands to doc pairs — ``jaccard_pairs`` (the small-scale/debug
     view) does that expansion; ``near_dup_clusters`` (the 100-TB
     deliverable) goes straight to cluster assignments instead.
+
+    The shared intermediates (``sets_``, ``reps``, ``banded``) are
+    lineage-truncated with ``localCheckpoint``: downstream consumes
+    each from MULTIPLE join branches (the banded self-join alone uses
+    two), and Catalyst does not reuse exchanges across separately
+    optimized subtrees — without the checkpoint the shingle/md5
+    pipeline re-executes ~8x per query (measured 88s -> 9s for the
+    verified graph at sf0.1). All three are O(distinct sets), far
+    below corpus size; on a real cluster swap for ``checkpoint()`` on
+    reliable storage (same note as operators/graph.py).
     """
-    sets_ = df.select(
-        "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
-    ).withColumn("set_key", F.md5(F.concat_ws("\x1f", "sh")))
+    sets_ = (
+        df.select(
+            "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
+        )
+        .withColumn("set_key", F.md5(F.concat_ws("\x1f", "sh")))
+        .localCheckpoint(eager=False)
+    )
     members = sets_.select(
         "set_key", "doc_id", F.size("sh").cast("long").alias("sz")
     )
     rep_ids = members.groupBy("set_key").agg(F.min("doc_id").alias("doc_id"))
-    reps = rep_ids.join(sets_, ["set_key", "doc_id"]).select(
-        "set_key", "doc_id", "sh"
+    reps = (
+        rep_ids.join(sets_, ["set_key", "doc_id"])
+        .select("set_key", "doc_id", "sh")
+        .localCheckpoint(eager=False)
     )
 
     # LSH over representatives only
@@ -232,7 +252,7 @@ def _jaccard_set_graph(
             ),
         )
     )
-    banded = _banded(sig, k, bands)
+    banded = _banded(sig, k, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -246,7 +266,11 @@ def _jaccard_set_graph(
         .distinct()
     )
 
-    # exact verify once per candidate SET pair
+    # exact verify once per candidate SET pair. The size-ratio gate
+    # runs BEFORE the array_intersect: J >= t forces
+    # min(sz)/max(sz) >= t, and sizes are already materialized — at
+    # scale this drops most false LSH candidates without ever touching
+    # the shingle arrays. Output-identical by construction.
     ra = reps.select(
         F.col("doc_id").alias("rep_a"),
         F.col("set_key").alias("key_a"),
@@ -257,7 +281,7 @@ def _jaccard_set_graph(
         F.col("set_key").alias("key_b"),
         F.col("sh").alias("sh_b"),
     )
-    verified = (
+    sized = (
         cand.join(ra, "rep_a")
         .join(rb, "rep_b")
         .select(
@@ -265,9 +289,29 @@ def _jaccard_set_graph(
             "key_b",
             "rep_a",
             "rep_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            "sh_a",
+            "sh_b",
             F.size("sh_a").cast("long").alias("vsz_a"),
             F.size("sh_b").cast("long").alias("vsz_b"),
+        )
+        .where(
+            # slack of 1e-6 keeps the gate a strict SUPERSET of the
+            # exact filter below under float rounding (a pair with
+            # exact J == t must never be pre-dropped); the exact
+            # jaccard test still decides membership
+            F.least("vsz_a", "vsz_b")
+            >= F.greatest("vsz_a", "vsz_b") * F.lit(threshold - 1e-6)
+        )
+    )
+    verified = (
+        sized.select(
+            "key_a",
+            "key_b",
+            "rep_a",
+            "rep_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            "vsz_a",
+            "vsz_b",
         )
         .withColumn(
             "jaccard",
@@ -468,7 +512,10 @@ def embedding_near_dup(
     sig = F.concat_ws(
         "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(planes)]
     )
-    bucketed = df.withColumn("sig", sig)
+    # lineage-truncate: the self-join consumes bucketed twice, and the
+    # normalize + planes-many plane_dot projection is the expensive
+    # part — without the checkpoint it executes once per join branch.
+    bucketed = df.withColumn("sig", sig).localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cos = F.aggregate(
@@ -576,9 +623,16 @@ def embedding_near_dup_clusters(
         connected_components,
     )
 
-    groups = emb.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
-    members = emb.join(groups, vec_col).select(
-        F.col(id_col).alias("vid"), "rep"
+    # checkpointed: groups feeds both members and reps, members feeds
+    # both the vertex set and the final assignment join (see
+    # _jaccard_set_graph for why exchange reuse doesn't cover this)
+    groups = emb.groupBy(vec_col).agg(F.min(id_col).alias("rep")).localCheckpoint(
+        eager=False
+    )
+    members = (
+        emb.join(groups, vec_col)
+        .select(F.col(id_col).alias("vid"), "rep")
+        .localCheckpoint(eager=False)
     )
     reps = groups.select(F.col("rep").alias(id_col), F.col(vec_col))
     pairs = embedding_near_dup(reps, id_col, vec_col, threshold, planes)

@@ -57,6 +57,9 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
         .distinct()
+        .localCheckpoint(eager=False)  # the union below consumes e twice;
+        # without this the (possibly expensive) edge-producing plan runs
+        # once per branch
     )
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))

@@ -190,15 +190,25 @@ mor = {eff_med['mor']:.3f}.**
    pointer jumping) instead of pair expansion — a 10^6-doc duplicate
    group is ONE graph node and n output rows, vs n(n-1)/2 pair rows
    from jaccard_pairs (kept as the debug view).
+10. Lineage-truncate shared subplans in the near-dup family: the r2
+   "output-bound ~110s" diagnosis for jaccard_pairs was WRONG — the
+   time was recomputation. Catalyst does not reuse exchanges across
+   separately optimized subtrees, so every self-join/rep-attach branch
+   re-executed the shingle/md5 pipeline (~8x per query, measured).
+   localCheckpoint(eager=False) on sets_/reps/banded (all O(distinct
+   sets), far below corpus size): jaccard_pairs 105.6 -> 31.4s,
+   near_dup_clusters 100.6 -> 29.0s, minhash_lsh_pairs 4.1 -> 3.6s
+   (the r2 +14% "drift" was this), embedding_near_dup 5.1 -> 3.4s.
+   Plus a size-ratio gate before the exact array_intersect
+   (J >= t forces min(sz)/max(sz) >= t — output-identical, verified
+   by unchanged oracle hashes and pair counts).
 
-`jaccard_pairs` (round 2): re-engineered and in the timed bench set.
-Candidates from MinHash LSH bands over one representative per DISTINCT
-shingle set (dedup-before-neardup), exact array_intersect verify on
-candidate set-pairs, output-bound expansion to doc pairs; oracle
-mirrors the gate (99.91% recall vs exhaustive at sf0.01). On this
-corpus the true answer at sf0.1 is ~8.9M pairs, so the query is
-output-bound (~110s); `core_sec` in the bench JSON is the
-round-1-comparable subtotal without it.
+`jaccard_pairs`: candidates from MinHash LSH bands over one
+representative per DISTINCT shingle set (dedup-before-neardup), exact
+array_intersect verify on candidate set-pairs, expansion to doc pairs
+(Omega(output): ~8.9M true pairs at sf0.1, the residual ~20s); oracle
+mirrors the gate (99.91% recall vs exhaustive at sf0.01). `core_sec`
+in the bench JSON is the round-1-comparable subtotal without it.
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by scripts/scaling_final.py.
 """

@@ -1079,6 +1079,102 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+SQL_SIMHASH_SIG_CTE = """
+words AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM documents
+), w2 AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w),1,8)) AS BIGINT) AS wh
+  FROM words WHERE length(w) > 0
+), contrib AS (
+  SELECT doc_id, bit,
+         CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM w2 CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(32)) bits
+), bitsum AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS ci FROM range(4)) cis
+)
+"""
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-<=3 near-dup pairs: pigeonhole banding (4 chunks
+    of the 32-bit fingerprint — full recall at distance <= 3), exact
+    bit_count(xor) verify. The oracle runs the doc-level formulation;
+    the Spark plan canonicalizes identical fingerprints first, which is
+    output-equivalent (identical fingerprints share every chunk)."""
+    return dd.simhash_near_dup(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_NEAR_DUP = (
+    "WITH " + SQL_SIMHASH_SIG_CTE + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                  b.doc_id AS doc_b, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+)
+
+
+def q_simhash_clusters(spark, sf_dir):
+    """Cluster-output SimHash near-dup (the scale deliverable —
+    one assignment row per doc; see near_dup_clusters)."""
+    return dd.simhash_clusters(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_CLUSTERS = (
+    "WITH RECURSIVE " + SQL_SIMHASH_SIG_CTE + """
+, reps AS (
+  SELECT simhash, min(doc_id) AS rep FROM sig GROUP BY simhash
+), cand AS (
+  SELECT DISTINCT ra.rep AS rep_a, ra.simhash AS sh_a,
+                  rb.rep AS rep_b, rb.simhash AS sh_b
+  FROM reps ra JOIN chunks a ON a.doc_id = ra.rep
+  JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv
+  JOIN reps rb ON b.doc_id = rb.rep
+  WHERE ra.rep < rb.rep
+), verified AS (
+  SELECT rep_a, rep_b FROM cand
+  WHERE bit_count(xor(sh_a, sh_b)) <= 3
+), edges AS (
+  SELECT rep_a AS s, rep_b AS d FROM verified
+  UNION
+  SELECT rep_b AS s, rep_a AS d FROM verified
+), reach(node, lab) AS (
+  SELECT rep, rep FROM reps
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS rep, min(lab) AS canonical_id FROM reach GROUP BY node
+), assign AS (
+  SELECT g.doc_id, c.canonical_id
+  FROM sig g
+  JOIN reps r ON g.simhash = r.simhash
+  JOIN comp c ON c.rep = r.rep
+), sized AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM assign GROUP BY canonical_id
+)
+SELECT a.doc_id, a.canonical_id, s.cluster_size,
+       (a.doc_id <> a.canonical_id) AS is_dup
+FROM assign a JOIN sized s USING (canonical_id)
+"""
+)
+
+
 def q_window_rollup(spark, sf_dir):
     """Tumbling event-time windows (1 hour) per event_type — the batch
     twin of the watermarked streaming rollup
@@ -1153,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "simhash_clusters": q_simhash_clusters,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1186,6 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
+        "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+        "simhash_clusters": SQL_SIMHASH_CLUSTERS,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY_SCORE,
         "lang_id": SQL_LANG_ID,

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "near_dup_clusters",
     "simhash",
+    "simhash_near_dup",
+    "simhash_clusters",
     "token_count",
     "quality_score",
     "lang_id",

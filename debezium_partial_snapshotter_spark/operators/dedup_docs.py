@@ -655,3 +655,150 @@ def embedding_near_dup_clusters(
         "cluster_size",
         (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
+
+
+def _simhash_graph(
+    df: DataFrame, text_col: str, bits: int, max_hamming: int
+):
+    """Shared machinery for the SimHash near-dup family: group docs by
+    IDENTICAL fingerprint (dedup-before-neardup — a group of n
+    byte-identical docs is one node, same trick as the Jaccard/
+    embedding families), pigeonhole-band the distinct fingerprints,
+    exact-verify candidate pairs by hamming distance.
+
+    Pigeonhole banding gives FULL recall at distance <= d: split the
+    fingerprint into d+1 chunks — any pair differing in <= d bits
+    must agree exactly on at least one chunk, so the candidate join is
+    an equi-join on (chunk_idx, chunk_value), never all-pairs.
+
+    Returns ``(members, verified)``:
+    - ``members``: (doc_id, simhash, rep) — docs with their
+      fingerprint group's representative (min doc_id);
+    - ``verified``: (rep_a, rep_b, hamming) — DISTINCT-fingerprint rep
+      pairs with hamming <= max_hamming.
+    Docs whose text contains no words produce no fingerprint and are
+    absent (mirrored by the SQL oracle)."""
+    sig = simhash(df, text_col, bits).localCheckpoint(eager=False)
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    members = sig.join(groups, "simhash").select("doc_id", "simhash", "rep")
+
+    nb = max_hamming + 1
+    base = bits // nb
+    chunk_cols = []
+    for i in range(nb):
+        lo = i * base
+        width = bits - lo if i == nb - 1 else base
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.expr(f"shiftright(simhash, {lo}) & {mask}").alias("cv"),
+            )
+        )
+    chunked = groups.select(
+        "rep", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
+    ).select("rep", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    verified = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("rep_a", "rep_b", "hamming")
+    )
+    return members, verified
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS (small-scale/debug view — same output
+    caveat as jaccard_pairs: identical-doc groups expand
+    quadratically; ``simhash_clusters`` is the scale deliverable).
+    Full recall at hamming <= max_hamming (pigeonhole banding is
+    exhaustive, unlike probabilistic MinHash LSH)."""
+    members, verified = _simhash_graph(df, text_col, bits, max_hamming)
+    m1 = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
+    m2 = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
+    cross = (
+        verified.join(m1, "rep_a")
+        .join(m2, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def simhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cluster-output SimHash near-dup: one ``(doc_id, canonical_id,
+    cluster_size, is_dup)`` row per fingerprinted doc; canonical_id is
+    the min doc_id of the connected component of the verified
+    hamming-<=d rep graph (transitive closure, keep-one contract —
+    same shape as near_dup_clusters / embedding_near_dup_clusters)."""
+    from debezium_partial_snapshotter_spark.operators.graph import (
+        connected_components,
+    )
+
+    members, verified = _simhash_graph(df, text_col, bits, max_hamming)
+    comp = connected_components(
+        verified.select("rep_a", "rep_b"),
+        src="rep_a",
+        dst="rep_b",
+        nodes=members.select("rep").distinct(),
+        node_col="rep",
+    )
+    assign = members.join(comp, members["rep"] == comp["node"]).select(
+        "doc_id", F.col("component").alias("canonical_id")
+    )
+    sizes = assign.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )

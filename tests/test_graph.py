@@ -144,3 +144,46 @@ def test_embedding_clusters_group_identical_vectors_once(spark):
     assert by_id[100]["canonical_id"] == by_id[101]["canonical_id"] or (
         by_id[101]["cluster_size"] == 1
     )
+
+
+def test_simhash_near_dup_full_recall_vs_brute_force(spark):
+    """Pigeonhole banding is EXHAUSTIVE at hamming <= max_hamming:
+    every qualifying pair of a word-perturbed corpus must appear."""
+    import itertools
+
+    from debezium_partial_snapshotter_spark.operators.dedup_docs import (
+        simhash,
+        simhash_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [(f"d{i:03d}", base + (f" extra{i % 7}" if i % 3 else ""))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = {
+        (a, b)
+        for (a, sa), (b, sb) in itertools.combinations(sorted(sigs.items()), 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup(df, max_hamming=3).collect()
+    }
+    assert got == want  # full recall AND no false positives
+
+
+def test_simhash_clusters_linear_output_for_identical_group(spark):
+    from debezium_partial_snapshotter_spark.operators.dedup_docs import (
+        simhash_clusters,
+    )
+
+    n = 300
+    rows = [(f"d{i:04d}", "identical boilerplate text repeated") for i in range(n)]
+    rows.append(("zzzz", "a completely different document about spark plans"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_clusters(df).collect()
+    assert len(out) == n + 1  # one row per doc, never per pair
+    big = [r for r in out if r["cluster_size"] == n]
+    assert len(big) == n and all(r["canonical_id"] == "d0000" for r in big)

@@ -1079,6 +1079,55 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (the CDC/feature-store lookup): each
+    'view' event gets the user's latest 'purchase' value at or before
+    its timestamp. One key-shuffle + per-partition sort — the
+    scale-safe union+window formulation (operators/asof.py); the
+    oracle runs the IDENTICAL window query (deterministic duplicate-ts
+    tie-break, which native ASOF JOIN leaves undefined)."""
+    from debezium_partial_snapshotter_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    builds = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        probes, builds, key="user_id", ts="ts", value_col="value",
+        seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "asof_value",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id AS _k, ts AS _ts, 0 AS _side,
+         CAST(event_id AS VARCHAR) AS _seq, value AS _v,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1, '', NULL, event_id
+  FROM events WHERE event_type = 'view'
+), filled AS (
+  SELECT *, last_value(_v IGNORE NULLS) OVER (
+    PARTITION BY _k ORDER BY _ts, _side, _seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM u
+)
+SELECT event_id, _k AS user_id,
+       CAST(floor(epoch(_ts)) AS BIGINT) AS ts_epoch, asof_value
+FROM filled WHERE _side = 1
+"""
+
+
 SQL_SIMHASH_SIG_CTE = """
 words AS (
   SELECT DISTINCT doc_id,
@@ -1243,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "window_rollup": q_window_rollup,
         "session_rollup": q_session_rollup,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1278,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": SQL_SALTED_AGG,
         "window_rollup": SQL_WINDOW_ROLLUP,
         "session_rollup": SQL_SESSION_ROLLUP,
+        "asof_join": SQL_ASOF_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

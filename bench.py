@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "salted_agg",
     "window_rollup",
     "session_rollup",
+    "asof_join",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

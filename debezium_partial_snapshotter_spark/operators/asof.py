@@ -1,0 +1,78 @@
+"""Distributed as-of join: point-in-time lookups over a keyed,
+timestamped build side.
+
+The CDC/feature-store staple: for each probe row (key, ts), the value
+of the latest build row with build.ts <= probe.ts for the same key.
+Spark has no native ASOF JOIN; the classic scale-safe re-expression is
+union-then-window:
+
+1. union build rows (carrying value) and probe rows (carrying NULL);
+2. one shuffle on key, one sort on (ts, side, seq) per partition;
+3. ``last(value, ignorenulls=True)`` over ROWS UNBOUNDED PRECEDING
+   fills each probe with the most recent build value at or before it.
+
+Cost: ONE shuffle of |build| + |probe| rows and one per-partition sort
+— same shape as any windowed dedup, no range-explosion, no per-row
+Python. A naive range join (probe.ts >= build.ts) would be quadratic
+per key; the window formulation is O(n log n) per key and AQE-skew-
+splittable.
+
+Determinism: rows are ordered by (ts, side, seq) where build sorts
+before probe at equal ts (inclusive "at or before" semantics) and
+``seq`` breaks build-build ties at identical ts (largest seq wins —
+a pinned choice, unlike native ASOF JOIN implementations that leave
+duplicate-ts resolution undefined). The DuckDB oracle uses the
+IDENTICAL window formulation, so results are hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    seq_col: str | None = None,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """For every probe row, attach the build ``value_col`` as of
+    (<=) the probe's ``ts`` per ``key``; NULL when no build row
+    precedes it. Output = probe columns + ``out_col``.
+
+    ``seq_col`` (default: ``ts``) orders build rows that tie on
+    (key, ts) — the row with the largest ``seq_col`` wins.
+    """
+    seq_col = seq_col or ts
+    probe_cols = probes.columns
+    b = builds.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(seq_col).cast("string").alias("_seq"),
+        F.col(value_col).alias("_v"),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols],
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit("").alias("_seq"),
+        F.lit(None).cast(builds.schema[value_col].dataType).alias("_v"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = b.unionByName(p).withColumn(
+        out_col, F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols], out_col
+    )

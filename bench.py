@@ -74,6 +74,31 @@ BENCH_QUERIES = [
     "frame_sample",
 ]
 
+# the queries that existed in round 1 — core_sec sums exactly these
+R1_CORE = [
+    "cdc_replay",
+    "cdc_last_image",
+    "cdc_upsert_final_state",
+    "cdc_snapshot_wal_conflict",
+    "bucket_assignment",
+    "tracker_discovery",
+    "catchup_backlog",
+    "hot_key_histogram",
+    "salted_agg",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "cosine_topk",
+    "ivf_topk",
+    "multimodal_meta",
+    "frame_sample",
+]
+
 
 def guess_sf(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -216,18 +241,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
-        # round-1-comparable subtotal: jaccard_pairs and
-        # embedding_near_dup joined the timed set in round 2 (jaccard's
-        # output is inherently ~8.9M rows at sf0.1), the *_clusters
-        # variants in round 3
-        "core_sec": round(
-            total
-            - qtimes.get("jaccard_pairs", 0.0)
-            - qtimes.get("embedding_near_dup", 0.0)
-            - qtimes.get("near_dup_clusters", 0.0)
-            - qtimes.get("embedding_near_dup_clusters", 0.0),
-            3,
-        ),
+        # round-1-comparable subtotal: an EXPLICIT sum over the round-1
+        # query set, so queries added in later rounds (r2: jaccard/
+        # embedding near-dup; r3: clusters, windows, asof, simhash
+        # near-dup) never skew the round-over-round comparison
+        "core_sec": round(sum(qtimes.get(q, 0.0) for q in R1_CORE), 3),
         "sf": sf,
         "parallelism": CPUS,
         **replay,

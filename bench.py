@@ -228,12 +228,20 @@ def main() -> None:
         spark.stop()
         print(json.dumps(out))
         return
+    import gc
+
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
+        # drop the query's DataFrame refs NOW so ContextCleaner can
+        # release its localCheckpoint blocks before the next query —
+        # otherwise checkpointed RDDs from earlier near-dup queries
+        # accumulate in the block manager and tax later queries
+        del df
+        gc.collect()
 
     total = round(sum(qtimes.values()), 3)
     out = {

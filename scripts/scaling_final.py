@@ -196,12 +196,14 @@ mor = {eff_med['mor']:.3f}.**
    separately optimized subtrees, so every self-join/rep-attach branch
    re-executed the shingle/md5 pipeline (~8x per query, measured).
    localCheckpoint(eager=False) on sets_/reps/banded (all O(distinct
-   sets), far below corpus size): jaccard_pairs 105.6 -> 31.4s,
-   near_dup_clusters 100.6 -> 29.0s, minhash_lsh_pairs 4.1 -> 3.6s
-   (the r2 +14% "drift" was this), embedding_near_dup 5.1 -> 3.4s.
-   Plus a size-ratio gate before the exact array_intersect
-   (J >= t forces min(sz)/max(sz) >= t — output-identical, verified
-   by unchanged oracle hashes and pair counts).
+   sets), far below corpus size): bench-to-bench at sf0.1,
+   jaccard_pairs 105.6 -> 46.3s, near_dup_clusters 100.6 -> 31.4s,
+   minhash_lsh_pairs 4.1 -> 3.5s (the r2 +14% "drift" was this),
+   embedding_near_dup 5.1 -> 2.9s. Plus a size-ratio gate before the
+   exact array_intersect (J >= t forces min(sz)/max(sz) >= t —
+   output-identical, verified by unchanged oracle hashes and pair
+   counts), and a gc.collect() between bench queries so one query's
+   checkpoint blocks are released before the next is timed.
 
 `jaccard_pairs`: candidates from MinHash LSH bands over one
 representative per DISTINCT shingle set (dedup-before-neardup), exact

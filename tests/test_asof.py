@@ -5,6 +5,9 @@ row, per-key isolation, and the deterministic duplicate-ts tie-break
 (largest seq wins).
 """
 
+import numpy as np
+import pytest
+
 from debezium_partial_snapshotter_spark.operators.asof import asof_join
 
 
@@ -57,3 +60,47 @@ def test_asof_duplicate_ts_tiebreak_largest_seq(spark):
     }
     # '200' > '100' lexicographically too — largest seq wins at the tie
     assert out == {"p1": 5.0, "p2": 5.0}
+
+
+@pytest.mark.parametrize("seed,n_keys,n_build,n_probe,ts_range", [
+    (7, 5, 60, 60, 40),      # dense ts collisions (range << rows)
+    (23, 1, 50, 80, 25),     # single hot key, many duplicate ts
+    (41, 20, 150, 150, 10_000),  # sparse
+])
+def test_asof_random_matches_brute_force(
+    spark, seed, n_keys, n_build, n_probe, ts_range
+):
+    """Randomized scenarios (incl. heavy duplicate-ts collisions) vs a
+    per-probe brute-force scan implementing the same contract: latest
+    build at-or-before ts, ties on ts broken by largest seq string."""
+    rng = np.random.default_rng(seed)
+    builds = [
+        (f"k{rng.integers(n_keys)}", int(rng.integers(ts_range)), i,
+         float(i) + 0.5)
+        for i in range(n_build)
+    ]
+    probes = [
+        (f"p{j}", f"k{rng.integers(n_keys)}", int(rng.integers(ts_range)))
+        for j in range(n_probe)
+    ]
+
+    def brute(key, ts):
+        cands = [b for b in builds if b[0] == key and b[1] <= ts]
+        if not cands:
+            return None
+        # order mirrors the operator: (ts, seq-as-string), last wins
+        cands.sort(key=lambda b: (b[1], str(b[2])))
+        return cands[-1][3]
+
+    want = {p[0]: brute(p[1], p[2]) for p in probes}
+
+    bdf = spark.createDataFrame(builds, ["user_id", "ts", "event_id", "value"])
+    pdf = spark.createDataFrame(probes, ["probe_id", "user_id", "ts"])
+    got = {
+        r["probe_id"]: r["asof_value"]
+        for r in asof_join(
+            pdf, bdf, key="user_id", ts="ts",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    assert got == want

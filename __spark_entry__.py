@@ -771,8 +771,12 @@ def q_simhash(spark, sf_dir):
     )
 
 
-SQL_SIMHASH = """
-WITH words AS (
+# shared fingerprint pipeline: SQL_SIMHASH and the simhash near-dup
+# oracles must agree on what a fingerprint is, so there is exactly ONE
+# SQL definition of it (the sig CTE carries the HUGEINT->BIGINT cast
+# that fixed the round-1 simhash hash-mismatch)
+SQL_SIMHASH_SIG_CTE = """
+words AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
   FROM documents
@@ -786,14 +790,18 @@ WITH words AS (
   FROM w2 CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(32)) bits
 ), bitsum AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS ci FROM range(4)) cis
 )
-SELECT doc_id,
-       -- CAST: DuckDB's sum() over BIGINT yields HUGEINT, which lands in
-       -- pandas as float64 and hash-mismatches Spark's int64 even when
-       -- the values are identical (CORRECTNESS_r01 simhash failure).
-       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-FROM bitsum GROUP BY doc_id
 """
+
+
+SQL_SIMHASH = "WITH " + SQL_SIMHASH_SIG_CTE + "SELECT doc_id, simhash FROM sig"
 
 
 # --------------------------------------------------------------------------
@@ -1109,50 +1117,31 @@ def q_asof_join(spark, sf_dir):
 
 SQL_ASOF_JOIN = """
 WITH u AS (
-  SELECT user_id AS _k, ts AS _ts, 0 AS _side,
-         CAST(event_id AS VARCHAR) AS _seq, value AS _v,
+  SELECT user_id AS _k, ts AS _ts, 0 AS _side, event_id AS _seq,
+         struct_pack(v := value) AS _fill,
          CAST(NULL AS BIGINT) AS event_id
   FROM events WHERE event_type = 'purchase'
   UNION ALL
-  SELECT user_id, ts, 1, '', NULL, event_id
+  SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
+         CAST(NULL AS STRUCT(v DOUBLE)), event_id
   FROM events WHERE event_type = 'view'
 ), filled AS (
-  SELECT *, last_value(_v IGNORE NULLS) OVER (
-    PARTITION BY _k ORDER BY _ts, _side, _seq
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  -- NULLS FIRST pins the same null-seq ordering Spark uses (ASC
+  -- defaults diverge between the engines); the struct fill keeps a
+  -- null-VALUED build row a non-null marker, exactly like the operator
+  SELECT *, last_value(_fill IGNORE NULLS) OVER (
+    PARTITION BY _k ORDER BY _ts, _side, _seq NULLS FIRST
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _lf
   FROM u
 )
 SELECT event_id, _k AS user_id,
-       CAST(floor(epoch(_ts)) AS BIGINT) AS ts_epoch, asof_value
+       CAST(floor(epoch(_ts)) AS BIGINT) AS ts_epoch,
+       _lf.v AS asof_value
 FROM filled WHERE _side = 1
 """
 
 
-SQL_SIMHASH_SIG_CTE = """
-words AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
-  FROM documents
-), w2 AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(w),1,8)) AS BIGINT) AS wh
-  FROM words WHERE length(w) > 0
-), contrib AS (
-  SELECT doc_id, bit,
-         CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
-  FROM w2 CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(32)) bits
-), bitsum AS (
-  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
-), sig AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-  FROM bitsum GROUP BY doc_id
-), chunks AS (
-  SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv
-  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS ci FROM range(4)) cis
-)
-"""
-
+# SQL_SIMHASH_SIG_CTE is defined above, next to SQL_SIMHASH
 
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash hamming-<=3 near-dup pairs: pigeonhole banding (4 chunks

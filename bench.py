@@ -15,11 +15,13 @@ epoch + tail epochs, exactly-once commits). scripts/scaling_bench.py
 runs THIS script at two parallelism levels for the scaling-efficiency
 evidence (BENCH/BASELINE.md).
 
-Note: `jaccard_pairs` re-entered the timed set in round 2 (it is now
-LSH-gated + set-canonicalized). On this synthetic corpus (~40-word
-vocabulary) its TRUE output is ~8.9M near-dup pairs at sf0.1, so it
-dominates wall time by output size alone; `core_sec` reports the
-round-1-comparable subtotal without it (BENCH/BASELINE.md).
+Note: `jaccard_pairs` re-entered the timed set in round 2 (LSH-gated
++ set-canonicalized). Round 3 found most of its round-2 cost was
+shared-subplan RECOMPUTATION (fixed via localCheckpoint — see
+BENCH/BASELINE.md round-3 log); the residual is the genuinely
+Omega(output) expansion (~8.9M true pairs at sf0.1 on this ~40-word-
+vocabulary corpus). `core_sec` reports the round-1-comparable
+subtotal (explicit R1_CORE list).
 """
 
 from __future__ import annotations
@@ -236,12 +238,17 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
-        # drop the query's DataFrame refs NOW so ContextCleaner can
-        # release its localCheckpoint blocks before the next query —
-        # otherwise checkpointed RDDs from earlier near-dup queries
-        # accumulate in the block manager and tax later queries
+        # drop the query's DataFrame refs and force a JVM GC so
+        # ContextCleaner actually releases its localCheckpoint blocks
+        # before the next query is timed — python gc alone only
+        # detaches the py4j refs; the JVM frees the blocks when ITS
+        # collector fires the weak references. Otherwise checkpointed
+        # RDDs from earlier near-dup queries stay in the block manager
+        # and tax later queries (measured: embedding clusters 29.4s ->
+        # 5.5s across a full run).
         del df
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(qtimes.values()), 3)
     out = {
@@ -253,7 +260,9 @@ def main() -> None:
         # query set, so queries added in later rounds (r2: jaccard/
         # embedding near-dup; r3: clusters, windows, asof, simhash
         # near-dup) never skew the round-over-round comparison
-        "core_sec": round(sum(qtimes.get(q, 0.0) for q in R1_CORE), 3),
+        # loud failure if R1_CORE ever drifts from the timed set — a
+        # silent .get(q, 0) would skew the round-over-round comparison
+        "core_sec": round(sum(qtimes[q] for q in R1_CORE), 3),
         "sf": sf,
         "parallelism": CPUS,
         **replay,

@@ -19,10 +19,14 @@ splittable.
 
 Determinism: rows are ordered by (ts, side, seq) where build sorts
 before probe at equal ts (inclusive "at or before" semantics) and
-``seq`` breaks build-build ties at identical ts (largest seq wins —
-a pinned choice, unlike native ASOF JOIN implementations that leave
-duplicate-ts resolution undefined). The DuckDB oracle uses the
-IDENTICAL window formulation, so results are hash-exact.
+``seq`` — kept in its NATIVE type, so numeric sequence columns order
+numerically — breaks build-build ties at identical ts (largest seq
+wins; a pinned choice, unlike native ASOF JOIN implementations that
+leave duplicate-ts resolution undefined). A NULL-valued build row
+genuinely yields NULL (the window fills a build-tagged STRUCT, not the
+raw value, so "latest value is NULL" is distinguishable from "no build
+row yet"). The DuckDB oracle uses the IDENTICAL window formulation,
+so results are hash-exact.
 """
 
 from __future__ import annotations
@@ -42,27 +46,33 @@ def asof_join(
 ) -> DataFrame:
     """For every probe row, attach the build ``value_col`` as of
     (<=) the probe's ``ts`` per ``key``; NULL when no build row
-    precedes it. Output = probe columns + ``out_col``.
+    precedes it (or the latest preceding build row's value is NULL).
+    Output = probe columns + ``out_col``.
 
     ``seq_col`` (default: ``ts``) orders build rows that tie on
-    (key, ts) — the row with the largest ``seq_col`` wins.
+    (key, ts) — the row with the largest ``seq_col`` (native-type
+    ordering; NULL seq sorts first and so loses ties) wins.
     """
     seq_col = seq_col or ts
     probe_cols = probes.columns
+    seq_type = builds.schema[seq_col].dataType
+    # the window fills a struct so a build row whose VALUE is null is
+    # still a non-null fill marker — last(ignorenulls) must skip only
+    # the probe rows, never null-valued builds
     b = builds.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(seq_col).cast("string").alias("_seq"),
-        F.col(value_col).alias("_v"),
+        F.col(seq_col).alias("_seq"),
+        F.struct(F.col(value_col).alias("v")).alias("_fill"),
         *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols],
     )
     p = probes.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit("").alias("_seq"),
-        F.lit(None).cast(builds.schema[value_col].dataType).alias("_v"),
+        F.lit(None).cast(seq_type).alias("_seq"),
+        F.lit(None).cast(b.schema["_fill"].dataType).alias("_fill"),
         *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
     )
     w = (
@@ -71,8 +81,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = b.unionByName(p).withColumn(
-        out_col, F.last("_v", ignorenulls=True).over(w)
+        "_last_fill", F.last("_fill", ignorenulls=True).over(w)
     )
     return filled.where(F.col("_side") == 1).select(
-        *[F.col(f"_p_{c}").alias(c) for c in probe_cols], out_col
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+        F.col("_last_fill.v").alias(out_col),
     )

@@ -210,26 +210,28 @@ def _jaccard_set_graph(
     view) does that expansion; ``near_dup_clusters`` (the 100-TB
     deliverable) goes straight to cluster assignments instead.
 
-    The shared intermediates (``sets_``, ``reps``, ``banded``) are
+    The shared intermediates (``members``, ``reps``, ``banded``) are
     lineage-truncated with ``localCheckpoint``: downstream consumes
     each from MULTIPLE join branches (the banded self-join alone uses
     two), and Catalyst does not reuse exchanges across separately
     optimized subtrees — without the checkpoint the shingle/md5
     pipeline re-executes ~8x per query (measured 88s -> 9s for the
-    verified graph at sf0.1). All three are O(distinct sets), far
-    below corpus size; on a real cluster swap for ``checkpoint()`` on
-    reliable storage (same note as operators/graph.py).
+    verified graph at sf0.1). What gets materialized is deliberately
+    small: ``members`` is three narrow columns per doc (NOT the
+    shingle arrays — checkpointing ``sets_`` itself would pin an
+    O(corpus) copy of every array in executor storage), ``reps`` and
+    ``banded`` are O(distinct sets). The array-carrying ``sets_``
+    plan is recomputed exactly twice (members materialization + the
+    reps join), each a single corpus projection. On a real cluster
+    swap localCheckpoint for ``checkpoint()`` on reliable storage
+    (same note as operators/graph.py).
     """
-    sets_ = (
-        df.select(
-            "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
-        )
-        .withColumn("set_key", F.md5(F.concat_ws("\x1f", "sh")))
-        .localCheckpoint(eager=False)
-    )
+    sets_ = df.select(
+        "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
+    ).withColumn("set_key", F.md5(F.concat_ws("\x1f", "sh")))
     members = sets_.select(
         "set_key", "doc_id", F.size("sh").cast("long").alias("sz")
-    )
+    ).localCheckpoint(eager=False)
     rep_ids = members.groupBy("set_key").agg(F.min("doc_id").alias("doc_id"))
     reps = (
         rep_ids.join(sets_, ["set_key", "doc_id"])

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from debezium_partial_snapshotter_spark.operators.windows import _epoch
+
 
 def windowed_rollup_stream(
     events: DataFrame,
@@ -43,7 +45,7 @@ def windowed_rollup_stream(
             F.sum(agg_col).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            _epoch(F.col("w.start")).alias("window_start"),
             *keys,
             "n_events",
             "sum_value",

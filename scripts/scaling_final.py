@@ -195,8 +195,9 @@ mor = {eff_med['mor']:.3f}.**
    time was recomputation. Catalyst does not reuse exchanges across
    separately optimized subtrees, so every self-join/rep-attach branch
    re-executed the shingle/md5 pipeline (~8x per query, measured).
-   localCheckpoint(eager=False) on sets_/reps/banded (all O(distinct
-   sets), far below corpus size): bench-to-bench at sf0.1,
+   localCheckpoint(eager=False) on members/reps/banded (narrow
+   columns / O(distinct sets) — NOT the array-carrying sets_ plan,
+   which would pin an O(corpus) copy): bench-to-bench at sf0.1,
    jaccard_pairs 105.6 -> 46.3s, near_dup_clusters 100.6 -> 31.4s,
    minhash_lsh_pairs 4.1 -> 3.5s (the r2 +14% "drift" was this),
    embedding_near_dup 5.1 -> 2.9s. Plus a size-ratio gate before the

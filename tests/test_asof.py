@@ -58,8 +58,42 @@ def test_asof_duplicate_ts_tiebreak_largest_seq(spark):
             value_col="value", seq_col="event_id",
         ).collect()
     }
-    # '200' > '100' lexicographically too — largest seq wins at the tie
     assert out == {"p1": 5.0, "p2": 5.0}
+
+
+def test_asof_numeric_seq_orders_numerically_not_lexically(spark):
+    """Regression: seq 11 must beat seq 9 at a tied ts (a string cast
+    would pick 9 because '9' > '11')."""
+    builds = spark.createDataFrame(
+        [("u1", 10, 9, 1.0), ("u1", 10, 11, 2.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    probes = spark.createDataFrame([("p1", "u1", 10)], ["probe_id", "user_id", "ts"])
+    out = asof_join(
+        probes, builds, key="user_id", ts="ts",
+        value_col="value", seq_col="event_id",
+    ).collect()
+    assert out[0]["asof_value"] == 2.0
+
+
+def test_asof_null_build_value_is_not_shadowed(spark):
+    """Regression: the latest build row's value being NULL must yield
+    NULL, not resurrect the previous non-null value."""
+    builds = spark.createDataFrame(
+        [("u1", 10, 1, 1.0), ("u1", 20, 2, None)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    probes = spark.createDataFrame(
+        [("p1", "u1", 15), ("p2", "u1", 25)], ["probe_id", "user_id", "ts"]
+    )
+    out = {
+        r["probe_id"]: r["asof_value"]
+        for r in asof_join(
+            probes, builds, key="user_id", ts="ts",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    assert out == {"p1": 1.0, "p2": None}
 
 
 @pytest.mark.parametrize("seed,n_keys,n_build,n_probe,ts_range", [
@@ -88,8 +122,8 @@ def test_asof_random_matches_brute_force(
         cands = [b for b in builds if b[0] == key and b[1] <= ts]
         if not cands:
             return None
-        # order mirrors the operator: (ts, seq-as-string), last wins
-        cands.sort(key=lambda b: (b[1], str(b[2])))
+        # order mirrors the operator: (ts, native seq), last wins
+        cands.sort(key=lambda b: (b[1], b[2]))
         return cands[-1][3]
 
     want = {p[0]: brute(p[1], p[2]) for p in probes}

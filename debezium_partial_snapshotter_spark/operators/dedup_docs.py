@@ -680,6 +680,12 @@ def _simhash_graph(
       pairs with hamming <= max_hamming.
     Docs whose text contains no words produce no fingerprint and are
     absent (mirrored by the SQL oracle)."""
+    nb_chunks = max_hamming + 1
+    if nb_chunks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nb_chunks} pigeonhole "
+            f"chunks but the fingerprint has only {bits} bits"
+        )
     sig = simhash(df, text_col, bits).localCheckpoint(eager=False)
     groups = (
         sig.groupBy("simhash")
@@ -688,7 +694,7 @@ def _simhash_graph(
     )
     members = sig.join(groups, "simhash").select("doc_id", "simhash", "rep")
 
-    nb = max_hamming + 1
+    nb = nb_chunks
     base = bits // nb
     chunk_cols = []
     for i in range(nb):

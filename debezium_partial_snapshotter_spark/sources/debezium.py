@@ -102,6 +102,7 @@ def decode_debezium(
     num_buckets: int = 32,
     key_col: str = "doc_id",
     drop_malformed: bool = True,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Debezium JSON -> CHANGE_EVENT_SCHEMA columns.
 
@@ -123,9 +124,22 @@ def decode_debezium(
     ``drop_malformed`` filters events that parse but lack op/lsn/key
     (from_json yields nulls rather than raising); set False to surface
     them for a dead-letter sink.
+
+    ``event_time_col`` optionally appends the envelope's event time
+    (``source.ts_ms`` with top-level ``ts_ms`` fallback, Debezium's
+    own precedence) as a TIMESTAMP column — the hook for watermarked
+    windowed rollups (``streaming/windows.py``) directly over the
+    change feed.
     """
     parsed = F.from_json(F.col(value_col), _parse_schema(payload_schema))
     env = _env(parsed, payload_schema)
+    extra = []
+    if event_time_col:
+        extra.append(
+            F.timestamp_millis(
+                F.coalesce(env["source"]["ts_ms"], env["ts_ms"]).cast("long")
+            ).alias(event_time_col)
+        )
     out = raw.select(
         env["op"].alias("op"),
         F.coalesce(env["after"][key_col], env["before"][key_col]).alias(key_col),
@@ -134,6 +148,7 @@ def decode_debezium(
             "snapshot"
         ),
         env["after"].alias("after"),
+        *extra,
     )
     out = out.select(
         "op",
@@ -144,6 +159,7 @@ def decode_debezium(
             "table_partition"
         ),
         "after",
+        *([event_time_col] if event_time_col else []),
     )
     if drop_malformed:
         out = out.where(

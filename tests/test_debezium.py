@@ -181,3 +181,65 @@ def test_streaming_tail_over_debezium_feed(spark, tmp_warehouse):
         r["doc_id"]: list(r["tokens"]) for r in runner.table.read(spark).collect()
     }
     assert got == {"a": [9, 9]}
+
+
+def test_debezium_stream_feeds_watermarked_rollup(spark, tmp_warehouse):
+    """Integration of the two round-3 streaming pieces: a Debezium
+    JSON-lines feed decoded with event time drives the watermarked
+    tumbling rollup — late rows beyond the watermark are dropped from
+    their already-finalized window."""
+    from debezium_partial_snapshotter_spark.streaming.windows import (
+        windowed_rollup_stream,
+    )
+
+    def env_at(op, lsn, doc, minute, second=0):
+        # event time = 2024-01-01 10:<minute>:<second> UTC in ts_ms
+        base_ms = 1704103200000  # 2024-01-01 10:00:00Z
+        e = json.loads(_env(op, lsn, after=_payload(doc, [1, 2])))
+        e["source"]["ts_ms"] = base_ms + (minute * 60 + second) * 1000
+        return json.dumps(e)
+
+    src = os.path.join(tmp_warehouse, "feed")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_warehouse, "ckpt")
+
+    raw = spark.readStream.text(src)
+    events = decode_debezium(
+        raw, num_buckets=NB, event_time_col="event_ts"
+    ).withColumn("n_tok", F.col("after.n_tok"))
+    rolled = windowed_rollup_stream(
+        events, ts_col="event_ts", keys=("op",),
+        window="1 minute", watermark="1 minute", agg_col="n_tok",
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("dbz_rollup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        batches = [
+            # window 10:00 gets two creates; 10:05 advances event time
+            [env_at("c", 1, "d1", 0, 10), env_at("c", 2, "d2", 0, 20),
+             env_at("u", 3, "d1", 5)],
+            # LATE create for 10:00 (watermark is now 10:04) + fresh row
+            [env_at("c", 4, "d3", 0, 30), env_at("u", 5, "d2", 10)],
+            # far-future row finalizes everything through 10:10
+            [env_at("u", 6, "d1", 60)],
+        ]
+        for i, lines in enumerate(batches):
+            with open(os.path.join(src, f"b{i}.jsonl"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        (r["window_start"], r["op"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM dbz_rollup").collect()
+    }
+    base = 1704103200  # 10:00:00Z epoch seconds
+    assert out[(base, "c")] == (2, 4)  # late d3 create dropped
+    assert out[(base + 300, "u")] == (1, 2)
+    assert out[(base + 600, "u")] == (1, 2)

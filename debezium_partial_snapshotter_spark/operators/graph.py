@@ -53,17 +53,21 @@ def connected_components(
     symmetry forces label(u) == label(v) across every edge, so labels
     are constant per component, and (a)+(b) pin that constant to the
     component minimum."""
+    # NO distinct() on the edge list: duplicate edges only add rows to
+    # the min-aggregating propagate step, which partial-aggregates them
+    # away map-side — dedup here would cost a full wide shuffle of |E|
+    # (then another for the symmetrized union) purely to remove rows
+    # the aggregation absorbs for free.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
-        .distinct()
         .localCheckpoint(eager=False)  # the union below consumes e twice;
         # without this the (possibly expensive) edge-producing plan runs
         # once per branch
     )
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    )
 
     if nodes is not None:
         verts = nodes.select(F.col(node_col).alias("node")).distinct()

@@ -1120,17 +1120,20 @@ WITH u AS (
   SELECT user_id AS _k, ts AS _ts, 0 AS _side, event_id AS _seq,
          struct_pack(v := value) AS _fill,
          CAST(NULL AS BIGINT) AS event_id
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
   UNION ALL
   SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
          CAST(NULL AS STRUCT(v DOUBLE)), event_id
   FROM events WHERE event_type = 'view'
 ), filled AS (
-  -- NULLS FIRST pins the same null-seq ordering Spark uses (ASC
-  -- defaults diverge between the engines); the struct fill keeps a
-  -- null-VALUED build row a non-null marker, exactly like the operator
+  -- NULLS FIRST on every ordering column pins the ordering Spark uses
+  -- (ASC defaults diverge between the engines — the operator also
+  -- filters NULL-ts BUILD rows, mirrored by the WHERE above); the
+  -- struct fill keeps a null-VALUED build row a non-null marker,
+  -- exactly like the operator
   SELECT *, last_value(_fill IGNORE NULLS) OVER (
-    PARTITION BY _k ORDER BY _ts, _side, _seq NULLS FIRST
+    PARTITION BY _k ORDER BY _ts NULLS FIRST, _side NULLS FIRST,
+                             _seq NULLS FIRST
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _lf
   FROM u
 )

@@ -59,7 +59,11 @@ def asof_join(
     # the window fills a struct so a build row whose VALUE is null is
     # still a non-null fill marker — last(ignorenulls) must skip only
     # the probe rows, never null-valued builds
-    b = builds.select(
+    # a build row with NULL ts has no position on the time axis — it
+    # must not fill anything (unfiltered it would sort NULLS-FIRST in
+    # Spark, i.e. "before everything", while SQL engines default
+    # NULLS LAST: semantically wrong AND engine-divergent)
+    b = builds.where(F.col(ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -75,9 +79,16 @@ def asof_join(
         F.lit(None).cast(b.schema["_fill"].dataType).alias("_fill"),
         *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
     )
+    # explicit nulls-first on every ordering column (Spark's asc
+    # default, but pinned so the oracle can state the same): a probe
+    # with NULL ts sorts before every build row and fills NULL
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_seq")
+        .orderBy(
+            F.asc_nulls_first("_ts"),
+            F.asc_nulls_first("_side"),
+            F.asc_nulls_first("_seq"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = b.unionByName(p).withColumn(

@@ -197,8 +197,11 @@ def _jaccard_set_graph(
     exact shingle set, LSH-gate candidate SET pairs over one
     representative per set, exact-verify each candidate set pair.
 
-    Returns ``(members, verified)``:
+    Returns ``(members, rep_ids, verified)``:
     - ``members``: (set_key, doc_id, sz) — every doc with its set group;
+    - ``rep_ids``: (set_key, doc_id) — the representative (min doc_id)
+      per distinct set, already derived from the checkpointed members
+      (returned so callers don't recompute the identical aggregation);
     - ``verified``: (key_a, key_b, rep_a, rep_b, inter, vsz_a, vsz_b,
       jaccard) — set pairs with exact Jaccard >= threshold.
 
@@ -297,12 +300,14 @@ def _jaccard_set_graph(
             F.size("sh_b").cast("long").alias("vsz_b"),
         )
         .where(
-            # slack of 1e-6 keeps the gate a strict SUPERSET of the
-            # exact filter below under float rounding (a pair with
-            # exact J == t must never be pre-dropped); the exact
-            # jaccard test still decides membership
+            # the exact filter below is round(J, 4) >= t, which admits
+            # any J >= t - 5e-5 (half-ulp of the 4-digit rounding), so
+            # the gate's slack must exceed 5e-5 — 1e-4 keeps it a
+            # strict SUPERSET of the exact filter (a pair that rounds
+            # up to t must never be pre-dropped); the exact jaccard
+            # test still decides membership
             F.least("vsz_a", "vsz_b")
-            >= F.greatest("vsz_a", "vsz_b") * F.lit(threshold - 1e-6)
+            >= F.greatest("vsz_a", "vsz_b") * F.lit(threshold - 1e-4)
         )
     )
     verified = (
@@ -324,7 +329,7 @@ def _jaccard_set_graph(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return members, verified
+    return members, rep_ids, verified
 
 
 def jaccard_pairs(
@@ -351,7 +356,7 @@ def jaccard_pairs(
     matches exactly. Pairs the LSH misses are absent from the output —
     a documented approximation, mirrored exactly by the oracle.
     """
-    members, verified = _jaccard_set_graph(
+    members, _rep_ids, verified = _jaccard_set_graph(
         df, text_col, threshold, shingle_n, k, bands
     )
     # expand set pairs to doc pairs (output-bound work)
@@ -571,10 +576,13 @@ def near_dup_clusters(
         connected_components,
     )
 
-    members, verified = _jaccard_set_graph(
+    members, rep_ids, verified = _jaccard_set_graph(
         df, text_col, threshold, shingle_n, k, bands
     )
-    rep_of = members.groupBy("set_key").agg(F.min("doc_id").alias("rep"))
+    # the helper already aggregated the per-set representative —
+    # recomputing the groupBy here would pay a redundant wide
+    # aggregation per query (round-3 review finding)
+    rep_of = rep_ids.withColumnRenamed("doc_id", "rep")
     nonempty = members.where(F.col("sz") > 0)
     comp = connected_components(
         verified.select("rep_a", "rep_b"),

@@ -83,6 +83,7 @@ def connected_components(
         eager=True
     )
 
+    changed = -1
     for _ in range(max_iter):
         # propagate: label(v) <- min(label(v), min over neighbors u of label(u))
         nbr_min = (
@@ -116,5 +117,14 @@ def connected_components(
         lab = jumped
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would silently split
+        # one real component into several clusters — fail loudly
+        # instead (pointer jumping needs only O(log diameter) rounds,
+        # so hitting this means max_iter is badly undersized)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing)"
+        )
 
     return lab.select("node", F.col("label").alias("component"))

@@ -108,18 +108,19 @@ def apply_batch(
     if commit_key is not None and commit_key in table.committed_keys():
         return {"applied": False, "reason": "duplicate_commit_key"}
 
-    nb = table.num_buckets
     # Effective bucket assignment + the layout token it was planned
-    # under: during an ONLINE incremental rescale the two differ from
-    # plain md5 % nb, and a split landing between here and the commit
-    # turns the commit into CommitConflict (re-bucket + re-merge)
-    # instead of silently misplacing rows.
-    bexpr = (
-        table.bucket_expr(F.col("doc_id"))
-        if hasattr(table, "bucket_expr")
-        else bucket_id(F.col("doc_id"), nb)
-    )
-    layout = table.layout_token() if hasattr(table, "layout_token") else None
+    # under, from ONE metadata read (bucket_plan): during an ONLINE
+    # incremental rescale the two differ from plain md5 % nb, and a
+    # split landing between here and the commit turns the commit into
+    # CommitConflict (re-bucket + re-merge) instead of silently
+    # misplacing rows. Reading them separately would reintroduce the
+    # race the token guards against (stale expression + fresh token).
+    if hasattr(table, "bucket_plan"):
+        nb, bexpr, layout = table.bucket_plan(F.col("doc_id"))
+    else:
+        nb = table.num_buckets
+        bexpr = bucket_id(F.col("doc_id"), nb)
+        layout = None
 
     # ---- 1. plan: per-bucket row counts + LSN ranges. A cheap scan —
     # column-pruned to (doc_id, lsn), partial-aggregated to <= nb rows

@@ -145,6 +145,16 @@ class IcebergTable:
 
         return bucket_id(key, self.num_buckets)
 
+    def bucket_plan(self, key):
+        """Contract parity with LakeTable.bucket_plan: one properties
+        read yields all three (no incremental-split state here, so the
+        race the LakeTable variant closes cannot occur — but callers
+        use the same API)."""
+        nb = self.num_buckets
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        return nb, bucket_id(key, nb), str(nb)
+
     def schema(self, version: int | None = None) -> StructType:
         # version 0 is the "no snapshot yet" sentinel (current_version of
         # an empty table) — Iceberg has no snapshot id 0 to pin
@@ -366,11 +376,16 @@ class IcebergTable:
         """Deterministic per-commit-key branch name: a crashed attempt
         retries with the SAME name and CREATE OR REPLACE resets the
         stale branch to the fresh main head (no append-on-stale, no
-        branch leakage)."""
+        branch leakage). Keyless validated writes use a FIXED sentinel
+        for the same reason — a random name would leak one orphan
+        branch per crash (pinning its snapshots against GC) that no
+        retry could ever reset. (Keyless writes therefore assume a
+        single concurrent writer, the same assumption two writers
+        sharing a commit key already make; the engine always passes
+        commit keys.)"""
         import hashlib
-        import uuid
 
-        seed = commit_key if commit_key is not None else uuid.uuid4().hex
+        seed = commit_key if commit_key is not None else "_keyless"
         return "dps_audit_" + hashlib.md5(seed.encode()).hexdigest()[:12]
 
     def _ensure_snapshot(self) -> None:

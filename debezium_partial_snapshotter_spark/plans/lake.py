@@ -248,16 +248,25 @@ class LakeTable:
     def layout_token(self) -> str:
         return self._layout_of(self.manifest())
 
-    def bucket_expr(self, key: "F.Column"):
-        """Effective bucket assignment, honoring an in-flight
-        incremental rescale (linear-hashing style): keys whose OLD
-        bucket has been split route to md5 % new_count, everyone else
-        stays on md5 % old_count. Because the new count is a multiple
-        of the old, a key's new bucket id is always ``old_b + i*nb`` —
-        entry ids never collide across the two numberings."""
+    def bucket_plan(self, key: "F.Column"):
+        """(num_buckets, bucket_expr, layout_token) from ONE manifest
+        read. Appliers must take all three from here, not from separate
+        ``num_buckets``/``bucket_expr()``/``layout_token()`` calls: a
+        concurrent ``split_bucket`` landing between two reads would
+        pair a STALE bucket expression with the NEW layout token, so
+        the commit-time layout guard passes while rows are routed to
+        wrong bucket entries — exactly the corruption the token exists
+        to catch."""
+        man = self.manifest()
+        return (
+            man["num_buckets"],
+            self._bucket_expr_of(man, key),
+            self._layout_of(man),
+        )
+
+    def _bucket_expr_of(self, man: dict, key: "F.Column"):
         from debezium_partial_snapshotter_spark.functions import bucket_id
 
-        man = self.manifest()
         nb = man["num_buckets"]
         rs = man.get("rescale")
         if not rs or not rs.get("done"):
@@ -267,6 +276,19 @@ class LakeTable:
         return F.when(
             old.isin([int(b) for b in rs["done"]]), new
         ).otherwise(old)
+
+    def bucket_expr(self, key: "F.Column"):
+        """Effective bucket assignment, honoring an in-flight
+        incremental rescale (linear-hashing style): keys whose OLD
+        bucket has been split route to md5 % new_count, everyone else
+        stays on md5 % old_count. Because the new count is a multiple
+        of the old, a key's new bucket id is always ``old_b + i*nb`` —
+        entry ids never collide across the two numberings.
+
+        NOTE: pairs with a SEPARATE manifest read from
+        ``layout_token()`` — when both the expression and the token are
+        needed (any commit path), use ``bucket_plan`` instead."""
+        return self._bucket_expr_of(self.manifest(), key)
 
     def watermark_lsn(self) -> int:
         return self.manifest().get("watermark_lsn", -1)

@@ -228,7 +228,16 @@ class DebeziumJsonSource(ParquetWalSource):
         raw = (
             self.spark.readStream.option(
                 "maxFilesPerTrigger", max_files_per_trigger
-            ).text(self.log_dir)
+            )
+            # same suffix filter as the batch path's wal_segment_paths
+            # (endswith .jsonl/.json): producers commonly write-then-
+            # rename (seg.jsonl.tmp -> seg.jsonl); without the filter
+            # the file source lists the temp file, racing the rename
+            # (FileNotFound kills the query) or double-ingesting the
+            # same envelopes under both names. NB "*.json*" would
+            # still match ".jsonl.tmp" — the brace glob is exact.
+            .option("pathGlobFilter", "*.{jsonl,json}")
+            .text(self.log_dir)
         )
         return self._decode(raw)
 

@@ -368,7 +368,13 @@ class MultiTableIngestRunner:
                 events = runner._route(batch_df, t).where(
                     F.col("lsn") > F.lit(wm)
                 )
-                key = f"{runner.cfg.pipeline_id}:stream:{batch_id}:{t}"
+                # distinct namespace from the shared-feed stream()'s
+                # "stream" keys: the two modes run over INDEPENDENT
+                # checkpoints, so their batch ids both start at 0 — a
+                # shared format would make a fresh per-table batch
+                # collide with an old shared-feed commit and be
+                # silently skipped (data loss on mode switch)
+                key = f"{runner.cfg.pipeline_id}:pstream:{batch_id}:{t}"
                 if key in table.committed_keys():
                     return
                 stats = apply_batch(

@@ -38,9 +38,11 @@ def run_once(cpus: int, n_events: int, offheap: str | None) -> dict:
         ),
         "PYTHONPATH": REPO,
     }
-    env.pop("DPS_OFFHEAP", None)
-    if offheap:
-        env["DPS_OFFHEAP"] = offheap
+    # bench.py now DEFAULTS to DPS_OFFHEAP=20g (setdefault), so the
+    # baseline arm must override with an explicit "0" — popping the
+    # var would silently run the "off" arm WITH off-heap and null the
+    # comparison
+    env["DPS_OFFHEAP"] = offheap if offheap else "0"
     t0, i0, s0 = cpu_stat()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

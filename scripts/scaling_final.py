@@ -111,7 +111,10 @@ def main():
         for m in ("cow", "mor")
         for c in (8, 32)
     )
-    offheap = os.environ.get("DPS_OFFHEAP", "unset")
+    # report the EFFECTIVE child config: bench.py setdefaults
+    # DPS_OFFHEAP=20g, so an unset parent env still measures WITH
+    # off-heap — the ledger must say so
+    offheap = os.environ.get("DPS_OFFHEAP") or "20g (bench.py default)"
     md = f"""# BENCH baseline — scaling evidence (final, interleaved)
 
 North-rule metric: change-events/sec applied replaying a deterministic

@@ -138,3 +138,24 @@ def test_asof_random_matches_brute_force(
         ).collect()
     }
     assert got == want
+
+
+def test_asof_null_ts_build_rows_never_fill(spark):
+    """Regression: a build row with NULL ts has no position on the time
+    axis — it must not fill any probe (unfiltered it would sort
+    nulls-first, i.e. 'before everything')."""
+    builds = spark.createDataFrame(
+        [("u1", None, 1, 9.0), ("u1", 10, 2, 1.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    probes = spark.createDataFrame(
+        [("p1", "u1", 5), ("p2", "u1", 15)], ["probe_id", "user_id", "ts"]
+    )
+    out = {
+        r["probe_id"]: r["asof_value"]
+        for r in asof_join(
+            probes, builds, key="user_id", ts="ts",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    assert out == {"p1": None, "p2": 1.0}

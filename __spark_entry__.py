@@ -1087,6 +1087,146 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: single-table partial-agg
+    groupBy with a pushed-down date filter — every aggregate combines
+    map-side, so the shuffle carries <= (flags x statuses) rows per
+    map task regardless of lineitem size."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: 3-way join (customer filter
+    broadcast into orders, lineitem shuffled once on orderkey), top 10
+    by revenue with a deterministic orderkey tie-break."""
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias(
+                "o_orderdate_epoch"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local supplier volume: the classic snowflake —
+    region/nation/supplier dims broadcast, the only wide shuffle is
+    lineitem x orders on orderkey. Demonstrates join reordering +
+    broadcast selection on the star schema."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cutoff_hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(supp),
+            li["l_suppkey"] == supp["s_suppkey"],
+        )
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join (the CDC/feature-store lookup): each
     'view' event gets the user's latest 'purchase' value at or before
@@ -1285,6 +1425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rollup": q_window_rollup,
         "session_rollup": q_session_rollup,
         "asof_join": q_asof_join,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1321,6 +1464,9 @@ def oracle_sql() -> dict[str, str]:
         "window_rollup": SQL_WINDOW_ROLLUP,
         "session_rollup": SQL_SESSION_ROLLUP,
         "asof_join": SQL_ASOF_JOIN,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5": SQL_TPCH_Q5,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

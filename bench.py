@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "window_rollup",
     "session_rollup",
     "asof_join",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

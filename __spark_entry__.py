@@ -1087,6 +1087,32 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+def q_quantile_stats(spark, sf_dir):
+    """Exact per-group quantiles (p25/p50/p75 of value per event_type)
+    via Spark's exact percentile aggregate — linear interpolation,
+    matching SQL's percentile_cont. Exact quantiles are a sort-based
+    aggregate (per-group sort of the values); at 100 TB swap for
+    approx_percentile (t-digest sketch, mergeable map-side) — kept
+    exact here so the DuckDB twin hash-matches."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return ev.groupBy("event_type").agg(
+        F.round(q.getItem(0), 6).alias("p25"),
+        F.round(q.getItem(1), 6).alias("p50"),
+        F.round(q.getItem(2), 6).alias("p75"),
+    )
+
+
+SQL_QUANTILE_STATS = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-style pricing summary: single-table partial-agg
     groupBy with a pushed-down date filter — every aggregate combines
@@ -1428,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "quantile_stats": q_quantile_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1467,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
+        "quantile_stats": SQL_QUANTILE_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

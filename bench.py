@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "quantile_stats",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

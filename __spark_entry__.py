@@ -1087,6 +1087,55 @@ FROM vid CROSS JOIN (SELECT CAST(range AS INT) AS frame_no FROM range(4)) f
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
+def q_range_join(spark, sf_dir):
+    """Range-containment join (brief: custom-operator example): every
+    50th order defines a 7-day interval [o_orderdate, +7d); count the
+    OTHER orders whose date falls inside each interval. The operator
+    re-expresses the non-equi containment join as a bucketized
+    equi-join (operators/windows.interval_join) — Spark would
+    otherwise plan BroadcastNestedLoop. Oracle runs the naive non-equi
+    join (fine at DuckDB's scale) — results must be identical."""
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        interval_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    week = 7 * 86400
+    anchors = orders.where(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("anchor_key"),
+        F.col("o_orderdate").alias("ivl_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("ivl_end"),
+    )
+    points = orders.select(
+        F.col("o_orderkey").alias("point_key"),
+        F.col("o_orderdate").alias("point_ts"),
+    )
+    joined = interval_join(
+        points, anchors, point_ts="point_ts",
+        start_col="ivl_start", end_col="ivl_end",
+        bucket_width_sec=week,
+    ).where(F.col("point_key") != F.col("anchor_key"))
+    return joined.groupBy("anchor_key").agg(
+        F.count(F.lit(1)).alias("n_orders_in_window")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH anchors AS (
+  SELECT o_orderkey AS anchor_key,
+         o_orderdate AS ivl_start,
+         o_orderdate + INTERVAL 7 DAY AS ivl_end
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT anchor_key, count(*) AS n_orders_in_window
+FROM anchors a
+JOIN orders p
+  ON p.o_orderdate >= a.ivl_start AND p.o_orderdate < a.ivl_end
+WHERE p.o_orderkey <> a.anchor_key
+GROUP BY anchor_key
+"""
+
+
 def q_quantile_stats(spark, sf_dir):
     """Exact per-group quantiles (p25/p50/p75 of value per event_type)
     via Spark's exact percentile aggregate — linear interpolation,
@@ -1455,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "quantile_stats": q_quantile_stats,
+        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1495,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
         "quantile_stats": SQL_QUANTILE_STATS,
+        "range_join": SQL_RANGE_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

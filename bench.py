@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "quantile_stats",
+    "range_join",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -91,3 +91,48 @@ def session_rollup(
             "sum_value",
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_sec: int,
+) -> DataFrame:
+    """Scale-safe range-containment join: every point row pairs with
+    every interval row whose ``[start, end)`` contains its timestamp.
+
+    Spark plans a naive ``p.ts >= i.start AND p.ts < i.end`` join as
+    BroadcastNestedLoop (a cross product) — quadratic and
+    broadcast-bound. This re-expression makes it an EQUI-join:
+
+    1. each interval explodes into the time buckets it covers
+       (``floor(start/w) .. floor((end-1)/w)`` — end-exclusive);
+    2. points compute their single bucket with one projection;
+    3. equi-join on the bucket id, then the exact containment filter.
+
+    Work is O(points + sum(interval_length)/w + output): pick
+    ``bucket_width_sec`` near the typical interval length so each
+    interval covers ~1-2 buckets. Both inputs shuffle once on the
+    bucket id; skewed buckets split under AQE. Intervals with
+    ``end <= start`` are empty ranges and are dropped (documented,
+    mirrored in oracles).
+
+    Output: all point columns + all interval columns.
+    """
+    w = int(bucket_width_sec)
+    ps = _epoch(F.col(point_ts))
+    se = _epoch(F.col(start_col))
+    ee = _epoch(F.col(end_col))
+    p = points.withColumn("_rb", F.floor(ps / w))
+    iv = (
+        intervals.where(ee > se)
+        .withColumn(
+            "_rb",
+            F.explode(F.sequence(F.floor(se / w), F.floor((ee - 1) / w))),
+        )
+    )
+    joined = p.join(iv, "_rb").where((ps >= se) & (ps < ee))
+    return joined.drop("_rb")

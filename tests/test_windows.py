@@ -161,3 +161,43 @@ def test_stream_keeps_late_rows_within_watermark(spark, tmp_warehouse):
     out = _run_stream(spark, tmp_warehouse, "20 minutes", BATCHES, "wm_loose")
     # watermark after b1 = 09:45 -> the late 10:00:30 row still lands
     assert out[(epoch(10, 0), "A")] == (3, 103.0)
+
+
+def test_interval_join_semantics(spark):
+    """Bucketized range join: inclusive start, exclusive end, empty
+    intervals dropped, intervals spanning multiple buckets still match
+    (the interval explodes into every covered bucket)."""
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [
+            ("i1", T(10, 0), T(10, 30)),
+            ("i2", T(10, 20), T(12, 20)),  # spans several 1h buckets
+            ("i3", T(11, 0), T(11, 0)),    # empty -> dropped
+        ],
+        ["ivl_id", "s", "e"],
+    )
+    points = spark.createDataFrame(
+        [
+            ("p1", T(10, 0)),    # == i1.start -> inclusive
+            ("p2", T(10, 25)),   # in i1 and i2
+            ("p3", T(10, 30)),   # == i1.end -> exclusive; still in i2
+            ("p4", T(12, 10)),   # deep into i2's later bucket
+            ("p5", T(11, 0)),    # empty i3 must not match
+            ("p6", T(13, 0)),    # matches nothing
+        ],
+        ["pid", "ts"],
+    )
+    got = {
+        (r["pid"], r["ivl_id"])
+        for r in interval_join(
+            points, intervals, point_ts="ts", start_col="s", end_col="e",
+            bucket_width_sec=3600,
+        ).collect()
+    }
+    assert got == {
+        ("p1", "i1"), ("p2", "i1"), ("p2", "i2"),
+        ("p3", "i2"), ("p4", "i2"), ("p5", "i2"),
+    }

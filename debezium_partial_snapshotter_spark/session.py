@@ -74,12 +74,39 @@ def get_spark(
     # shuffle/spill on tmpfs when available (single-node harness);
     # cluster managers override via SPARK_LOCAL_DIRS
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        builder = builder.config("spark.local.dir", "/dev/shm/dps-spark-local")
+        local_root = "/dev/shm/dps-spark-local"
+        _sweep_stale_local_dirs(local_root)
+        builder = builder.config("spark.local.dir", local_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
+    """Best-effort purge of leaked shuffle dirs. Spark removes its
+    blockmgr-*/spark-* dirs on clean shutdown, but a killed JVM leaks
+    them — and on tmpfs that is RAM held hostage (observed 17 GB of
+    stale dirs from dead sessions shrinking the page cache and
+    inflating later benchmark runs). Only entries untouched for
+    ``max_age_sec`` are removed, so concurrently-live sessions (which
+    keep writing) are never hit."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    cutoff = time.time() - max_age_sec
+    for name in entries:
+        p = os.path.join(root, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def stop_spark() -> None:

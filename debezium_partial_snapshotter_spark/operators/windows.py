@@ -120,19 +120,40 @@ def interval_join(
     ``end <= start`` are empty ranges and are dropped (documented,
     mirrored in oracles).
 
-    Output: all point columns + all interval columns.
+    Bucketing uses second-truncated epochs but the CONTAINMENT filter
+    compares the original columns, so sub-second timestamps resolve
+    exactly; the covered-bucket range extends through ``floor(end/w)``
+    (one possibly-superfluous bucket when the end lies exactly on a
+    boundary — the exact filter rejects it) so a sub-second end's tail
+    bucket is never missed.
+
+    Output: all point columns + all interval columns — the two inputs
+    must not share column names (raises ValueError; ambiguous post-join
+    references would otherwise corrupt the containment filter).
     """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            "rename one side before interval_join"
+        )
+    rb = "_rb"
+    while rb in points.columns or rb in intervals.columns:
+        rb += "_"
     w = int(bucket_width_sec)
     ps = _epoch(F.col(point_ts))
     se = _epoch(F.col(start_col))
     ee = _epoch(F.col(end_col))
-    p = points.withColumn("_rb", F.floor(ps / w))
+    p = points.withColumn(rb, F.floor(ps / w))
     iv = (
-        intervals.where(ee > se)
+        intervals.where(F.col(end_col) > F.col(start_col))
         .withColumn(
-            "_rb",
-            F.explode(F.sequence(F.floor(se / w), F.floor((ee - 1) / w))),
+            rb,
+            F.explode(F.sequence(F.floor(se / w), F.floor(ee / w))),
         )
     )
-    joined = p.join(iv, "_rb").where((ps >= se) & (ps < ee))
-    return joined.drop("_rb")
+    joined = p.join(iv, rb).where(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop(rb)

@@ -89,9 +89,15 @@ def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
     blockmgr-*/spark-* dirs on clean shutdown, but a killed JVM leaks
     them — and on tmpfs that is RAM held hostage (observed 17 GB of
     stale dirs from dead sessions shrinking the page cache and
-    inflating later benchmark runs). Only entries untouched for
-    ``max_age_sec`` are removed, so concurrently-live sessions (which
-    keep writing) are never hit."""
+    inflating later benchmark runs).
+
+    Liveness is judged by the NEWEST mtime across the entry and its
+    immediate children: a top-level blockmgr-* mtime freezes once its
+    (<= 64) hash subdirs exist, but every shuffle-file create/delete
+    touches the PARENT hash subdir's mtime, so an actively-shuffling
+    session always looks fresh at depth 2. Only entries whose newest
+    depth-2 mtime is older than ``max_age_sec`` are removed, and only
+    Spark-named entries (blockmgr-*/spark-*) are considered."""
     import shutil
     import time
 
@@ -101,9 +107,20 @@ def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
         return
     cutoff = time.time() - max_age_sec
     for name in entries:
+        if not (name.startswith("blockmgr-") or name.startswith("spark-")):
+            continue
         p = os.path.join(root, name)
         try:
-            if os.path.getmtime(p) < cutoff:
+            newest = os.path.getmtime(p)
+            if os.path.isdir(p):
+                for child in os.listdir(p):
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(p, child))
+                        )
+                    except OSError:
+                        continue
+            if newest < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

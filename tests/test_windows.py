@@ -201,3 +201,87 @@ def test_interval_join_semantics(spark):
         ("p1", "i1"), ("p2", "i1"), ("p2", "i2"),
         ("p3", "i2"), ("p4", "i2"), ("p5", "i2"),
     }
+
+
+def test_interval_join_subsecond_exactness(spark):
+    """Regression (round-3 review): containment must compare the
+    ORIGINAL timestamps, not second-truncated epochs — and an interval
+    whose sub-second end spills past a bucket boundary must still
+    cover its tail bucket."""
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        interval_join,
+    )
+
+    us = dt.timedelta(microseconds=1)
+    intervals = spark.createDataFrame(
+        [
+            # [10:00:00.900, 11:00:00.500): end spills into the 11:00 bucket
+            ("i1", T(10, 0, 0) + 900_000 * us, T(11, 0, 0) + 500_000 * us),
+            # sub-second non-empty interval on one truncated second
+            ("i2", T(12, 0, 0) + 200_000 * us, T(12, 0, 0) + 800_000 * us),
+        ],
+        ["ivl_id", "s", "e"],
+    )
+    points = spark.createDataFrame(
+        [
+            ("p1", T(10, 0, 0) + 700_000 * us),   # before i1.start -> NO
+            ("p2", T(10, 0, 0) + 900_000 * us),   # == i1.start -> yes
+            ("p3", T(11, 0, 0) + 200_000 * us),   # in i1's tail bucket -> yes
+            ("p4", T(11, 0, 0) + 500_000 * us),   # == i1.end -> NO
+            ("p5", T(12, 0, 0) + 500_000 * us),   # inside sub-second i2 -> yes
+            ("p6", T(12, 0, 0)),                  # before i2.start -> NO
+        ],
+        ["pid", "ts"],
+    )
+    got = {
+        (r["pid"], r["ivl_id"])
+        for r in interval_join(
+            points, intervals, point_ts="ts", start_col="s", end_col="e",
+            bucket_width_sec=3600,
+        ).collect()
+    }
+    assert got == {("p2", "i1"), ("p3", "i1"), ("p5", "i2")}
+
+
+def test_interval_join_rejects_shared_column_names(spark):
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        interval_join,
+    )
+    import pytest
+
+    a = spark.createDataFrame([("p", T(10, 0))], ["name", "ts"])
+    b = spark.createDataFrame([("i", T(9, 0), T(11, 0))], ["name", "s", "e"])
+    with pytest.raises(ValueError, match="share column names"):
+        interval_join(a, b, "ts", "s", "e", 3600)
+
+
+def test_local_dir_sweep_spares_live_sessions(tmp_path):
+    """The sweep must key liveness on the newest DEPTH-2 mtime: a live
+    session's top-level blockmgr dir mtime freezes once its hash
+    subdirs exist, but file churn keeps touching the subdirs."""
+    import os
+    import time
+
+    from debezium_partial_snapshotter_spark.session import (
+        _sweep_stale_local_dirs,
+    )
+
+    root = str(tmp_path)
+    old = time.time() - 10_000
+
+    def mkdir(name, top_mtime, child_mtime=None):
+        d = os.path.join(root, name)
+        os.makedirs(os.path.join(d, "0a"))
+        if child_mtime is not None:
+            os.utime(os.path.join(d, "0a"), (child_mtime, child_mtime))
+        os.utime(d, (top_mtime, top_mtime))
+
+    mkdir("blockmgr-dead", old, old)          # stale everywhere -> swept
+    mkdir("blockmgr-live", old, time.time())  # fresh child -> kept
+    mkdir("spark-dead", old, old)             # stale driver dir -> swept
+    os.makedirs(os.path.join(root, "not-spark-thing"))
+    os.utime(os.path.join(root, "not-spark-thing"), (old, old))  # foreign -> kept
+
+    _sweep_stale_local_dirs(root, max_age_sec=5400)
+    left = sorted(os.listdir(root))
+    assert left == ["blockmgr-live", "not-spark-thing"]

@@ -655,22 +655,51 @@ class LakeTable:
                 time.sleep(0.05 * (attempt + 1))
         return True
 
-    def overwrite(self, df: DataFrame, new_schema: StructType | None = None) -> None:
-        """Full rewrite (bootstrap loads / tiny control tables)."""
-        nb = self.num_buckets
-        key = self.bucket_key
-        man = self.manifest()
-        staged = df.withColumn("_bucket", self.bucket_expr(F.col(key)))
-        affected = sorted(
-            set(range(nb))
-            | {int(b) for b in man.get("buckets", {})}
-            | {int(b) for b in man.get("deltas", {})}
-        )
-        self.replace_buckets(
-            staged,
-            affected_buckets=affected,
-            new_schema=new_schema,
-        )
+    def overwrite(
+        self,
+        df: DataFrame,
+        new_schema: StructType | None = None,
+        max_retries: int = 3,
+    ) -> None:
+        """Full rewrite (bootstrap loads / tiny control tables).
+
+        ONE manifest read feeds the bucket count, the routing
+        expression, AND the commit-time ``expected_layout`` guard — the
+        separate ``num_buckets``/``bucket_expr()`` reads this replaced
+        were exactly the stale-expression/fresh-state race the
+        ``bucket_plan`` docstring forbids (a ``split_bucket`` landing
+        between them misplaces rows with no CommitConflict; ADVICE r3).
+        Like ``rescale``, the rewrite lands everything under the PLAIN
+        layout and clears any in-flight incremental-rescale state in
+        the same commit (``manifest_update={'rescale': None}``) —
+        routing with the transitional expression while clearing the
+        transition would strand rows in above-``nb`` entries that
+        later merge writers never replace."""
+        from debezium_partial_snapshotter_spark.functions import bucket_id
+
+        for attempt in range(max_retries):
+            man = self.manifest()
+            nb = man["num_buckets"]
+            key = man.get("bucket_key", "doc_id")
+            staged = df.withColumn("_bucket", bucket_id(F.col(key), nb))
+            affected = sorted(
+                set(range(nb))
+                | {int(b) for b in man.get("buckets", {})}
+                | {int(b) for b in man.get("deltas", {})}
+            )
+            try:
+                self.replace_buckets(
+                    staged,
+                    affected_buckets=affected,
+                    new_schema=new_schema,
+                    expected_layout=self._layout_of(man),
+                    manifest_update={"rescale": None},
+                )
+                return
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     def rescale(
         self,

@@ -72,16 +72,35 @@ def get_spark(
             .config("spark.sql.columnVector.offheap.enabled", "true")
         )
     # shuffle/spill on tmpfs when available (single-node harness);
-    # cluster managers override via SPARK_LOCAL_DIRS
+    # cluster managers override via SPARK_LOCAL_DIRS.
+    # Each session's dirs live under a pid-scoped subdir so the leak
+    # sweep can key liveness on process existence, not mtime: a live
+    # session that has been shuffle-idle for hours (long pure-compute
+    # stage) must never have its shuffle dirs deleted out from under it.
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_root = "/dev/shm/dps-spark-local"
-        _sweep_stale_local_dirs(local_root)
+        shared_root = "/dev/shm/dps-spark-local"
+        _sweep_stale_local_dirs(shared_root)
+        local_root = os.path.join(shared_root, f"pid-{os.getpid()}")
         builder = builder.config("spark.local.dir", local_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if a process with this pid exists (PermissionError means it
+    exists but belongs to someone else — still alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknown — err on the side of "alive"
+    return True
 
 
 def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
@@ -91,13 +110,18 @@ def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
     stale dirs from dead sessions shrinking the page cache and
     inflating later benchmark runs).
 
-    Liveness is judged by the NEWEST mtime across the entry and its
-    immediate children: a top-level blockmgr-* mtime freezes once its
-    (<= 64) hash subdirs exist, but every shuffle-file create/delete
-    touches the PARENT hash subdir's mtime, so an actively-shuffling
-    session always looks fresh at depth 2. Only entries whose newest
-    depth-2 mtime is older than ``max_age_sec`` are removed, and only
-    Spark-named entries (blockmgr-*/spark-*) are considered."""
+    Liveness is keyed on PROCESS EXISTENCE, not mtime: each session's
+    ``spark.local.dir`` is ``<root>/pid-<pid>``, and only ``pid-*``
+    entries whose owning process is dead are removed. An mtime rule
+    (the previous design) could delete a live-but-shuffle-idle
+    session's dirs mid-run — a later shuffle write then fails with a
+    mkdir-under-removed-parent error and earlier shuffle files vanish
+    (FetchFailed). PID reuse can at worst *retain* a dead session's
+    dir until the recycled pid exits — safe direction.
+
+    Legacy entries from the pre-pid layout (blockmgr-*/spark-* directly
+    under root) have no owner to probe and are swept by the old
+    newest-depth-2-mtime rule; no current code writes that layout."""
     import shutil
     import time
 
@@ -107,9 +131,17 @@ def _sweep_stale_local_dirs(root: str, max_age_sec: int = 5400) -> None:
         return
     cutoff = time.time() - max_age_sec
     for name in entries:
+        p = os.path.join(root, name)
+        if name.startswith("pid-"):
+            try:
+                pid = int(name[4:])
+            except ValueError:
+                continue
+            if pid != os.getpid() and not _pid_alive(pid):
+                shutil.rmtree(p, ignore_errors=True)
+            continue
         if not (name.startswith("blockmgr-") or name.startswith("spark-")):
             continue
-        p = os.path.join(root, name)
         try:
             newest = os.path.getmtime(p)
             if os.path.isdir(p):

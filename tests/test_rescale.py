@@ -293,3 +293,71 @@ def test_concurrent_splits_do_not_erase_each_other(spark, tmp_warehouse):
         assert d in {
             r["doc_id"] for r in t.read(spark, buckets=[eff]).collect()
         }, (d, b4, eff)
+
+
+def test_overwrite_mid_rescale_clears_transition(spark, tmp_warehouse):
+    """overwrite() during an in-flight incremental rescale must (a) be
+    computed from ONE manifest read guarded by expected_layout, (b)
+    clear the rescale state in the same commit, and (c) route with the
+    PLAIN bucket function — rows routed with the transitional
+    expression while clearing the transition would strand data in
+    above-nb entries that later merge writers never replace."""
+    t = empty_table_for(os.path.join(tmp_warehouse, "ow"), TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 100 + i) for i in range(40)]
+    assert apply_batch(t, _events(spark, rows), commit_key="p:0")["applied"]
+    assert t.begin_rescale(8)["applied"]
+    assert t.split_bucket(spark, 1, commit_key="p:s1")["applied"]
+    assert "rescale" in t.manifest()
+
+    new = t.read(spark).withColumn("_lsn", F.col("_lsn") + 1000)
+    t.overwrite(new.drop("_bucket"))
+
+    man = t.manifest()
+    assert "rescale" not in man  # transition cleared atomically
+    assert man["num_buckets"] == 4
+    # no stranded entries above the plain bucket count
+    assert all(int(b) < 4 for b in man["buckets"])
+    got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert got == {f"k{i}": 1100 + i for i in range(40)}
+    # subsequent merge writers see a plain layout and apply cleanly
+    assert apply_batch(
+        t, _events(spark, [("u", "k1", 5000)]), commit_key="p:after"
+    )["applied"]
+    assert {
+        r["_lsn"] for r in t.read(spark).where(F.col("doc_id") == "k1").collect()
+    } == {5000}
+
+
+def test_overwrite_conflicts_on_concurrent_split(spark, tmp_warehouse):
+    """A split_bucket landing between overwrite()'s manifest read and
+    its commit changes the layout token -> the guarded commit must
+    CommitConflict internally and the retry must land on the fresh
+    manifest (previously: silent row misplacement)."""
+    from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+
+    path = os.path.join(tmp_warehouse, "owrace")
+    t = empty_table_for(path, TOKENS_SCHEMA, 4)
+    rows = [("u", f"k{i}", 100 + i) for i in range(40)]
+    assert apply_batch(t, _events(spark, rows), commit_key="p:0")["applied"]
+    assert t.begin_rescale(8)["applied"]
+
+    other = LakeTable(path)
+    orig = t.replace_buckets
+    fired = {"n": 0}
+
+    def hook(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            assert other.split_bucket(spark, 2, commit_key="q:s2")["applied"]
+        return orig(*a, **kw)
+
+    t.replace_buckets = hook
+    new = t.read(spark).withColumn("_lsn", F.col("_lsn") + 1000).drop("_bucket")
+    t.overwrite(new)
+    t.replace_buckets = orig
+
+    man = t.manifest()
+    assert "rescale" not in man and man["num_buckets"] == 4
+    assert all(int(b) < 4 for b in man["buckets"])
+    got = {r["doc_id"]: r["_lsn"] for r in t.read(spark).collect()}
+    assert got == {f"k{i}": 1100 + i for i in range(40)}

@@ -255,10 +255,41 @@ def test_interval_join_rejects_shared_column_names(spark):
         interval_join(a, b, "ts", "s", "e", 3600)
 
 
-def test_local_dir_sweep_spares_live_sessions(tmp_path):
-    """The sweep must key liveness on the newest DEPTH-2 mtime: a live
-    session's top-level blockmgr dir mtime freezes once its hash
-    subdirs exist, but file churn keeps touching the subdirs."""
+def test_local_dir_sweep_pid_liveness(tmp_path):
+    """pid-* entries are swept iff their owning process is DEAD —
+    never by mtime, so a live-but-shuffle-idle session keeps its
+    shuffle dirs no matter how long its last write was."""
+    import os
+    import time
+
+    from debezium_partial_snapshotter_spark.session import (
+        _sweep_stale_local_dirs,
+    )
+
+    root = str(tmp_path)
+    old = time.time() - 1_000_000  # way past any mtime cutoff
+
+    def mk(name, mtime):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        os.utime(d, (mtime, mtime))
+
+    # Our own pid, ancient mtime: must survive (idle-but-alive case).
+    mk(f"pid-{os.getpid()}", old)
+    # pid 1 (init) is alive but not ours: must survive.
+    mk("pid-1", old)
+    # A pid that cannot exist on Linux (> pid_max ceiling 2^22): dead.
+    mk("pid-99999999", time.time())  # fresh mtime must NOT save it
+    mk("pid-garbage", old)  # unparseable: left alone
+    _sweep_stale_local_dirs(root, max_age_sec=5400)
+    left = sorted(os.listdir(root))
+    assert left == sorted(["pid-1", "pid-garbage", f"pid-{os.getpid()}"])
+
+
+def test_local_dir_sweep_legacy_mtime(tmp_path):
+    """Legacy pre-pid-layout entries (blockmgr-*/spark-* directly under
+    the shared root) still sweep by newest depth-2 mtime; foreign
+    entries are never touched."""
     import os
     import time
 

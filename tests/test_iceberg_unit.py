@@ -4,7 +4,22 @@ adapter's DDL, snapshot-property plumbing, idempotence short-circuit,
 schema evolution, and the write-audit-publish validation protocol are
 pinned even though no catalog exists in this sandbox. (The full
 behavioral contract runs in tests/test_sink_contract.py when a runtime
-is present.)"""
+is present.)
+
+Iceberg behaviors the fake ENCODES (public Iceberg semantics, spec v2,
+per the Apache Iceberg branching docs and the Spark runtime >= 1.2
+``fast_forward`` procedure; re-verify these four against any new
+runtime before trusting the suite as a substitute for integration):
+  1. ``CREATE OR REPLACE BRANCH`` forks at (or resets an existing
+     branch to) the CURRENT main head, and requires a snapshot.
+  2. ``CALL system.fast_forward('main', b)`` atomically advances main
+     to b iff main has not moved since b's fork; otherwise it fails.
+  3. ``snapshot-property.*`` write options become summary properties
+     of the commit they ride, INCLUDING commits to a branch target.
+  4. Zero-record commits MAY be skipped by the runtime (modeled both
+     ways via ``empty_insert_creates_snapshot``); non-empty data
+     changes always produce a snapshot.
+"""
 
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
@@ -52,8 +67,22 @@ class FakeReader:
 
 
 class FakeSchemaDF:
-    def __init__(self, schema):
+    """Schema-carrying stand-in for a read DataFrame; supports the
+    narrow-op chain read()/rescale() use (where/drop/withColumn) and
+    terminates in a FakeDF so writeTo works."""
+
+    def __init__(self, schema, spark=None):
         self.schema = schema
+        self._spark = spark
+
+    def where(self, cond):
+        return self
+
+    def drop(self, name):
+        return self
+
+    def withColumn(self, name, col):
+        return FakeDF(self._spark, self._spark.wlog)
 
 
 class FakeWriter:
@@ -100,15 +129,31 @@ class FakeSpark:
     branch commits). fast_forward publishes a branch iff main has not
     moved since the fork."""
 
-    def __init__(self):
+    def __init__(
+        self,
+        empty_insert_creates_snapshot: bool = True,
+        suppress_all_commits: bool = False,
+        refs_broken: bool = False,
+    ):
         self.sqls = []
         self.main = []  # [{"id": int, "summary": {...}}]
+        self.all_snaps = []  # every snapshot ever committed (any ref)
         self.branches = {}  # name -> {"base": int, "snaps": [...]}
         self.next_id = 100
         self.props = {"dps.num-buckets": "4", "dps.bucket-key": "doc_id"}
         self.catalog = FakeCatalog()
+        self.wlog = {"options": {}}
+        # modeled runtime-variant knobs (VERDICT r3 next-1: pin the
+        # UNCERTAIN Iceberg behaviors as executable facts):
+        # some runtimes skip zero-record commits entirely
+        self.empty_insert_creates_snapshot = empty_insert_creates_snapshot
+        # pathological runtime that never snapshots (must be refused)
+        self.suppress_all_commits = suppress_all_commits
+        # runtime that does not expose main via .refs (head assumption)
+        self.refs_broken = refs_broken
         self.table_df = FakeSchemaDF(
-            StructType(list(SCHEMA.fields) + [StructField("_bucket", IntegerType(), True)])
+            StructType(list(SCHEMA.fields) + [StructField("_bucket", IntegerType(), True)]),
+            spark=self,
         )
 
     # -- model helpers ---------------------------------------------------
@@ -116,8 +161,11 @@ class FakeSpark:
         return self.main[-1]["id"] if self.main else 0
 
     def commit(self, target, summary):
+        if self.suppress_all_commits:
+            return None
         snap = {"id": self.next_id, "summary": summary}
         self.next_id += 1
+        self.all_snaps.append(snap)
         if ".branch_" in target:
             name = target.split(".branch_", 1)[1]
             self.branches[name]["snaps"].append(snap)
@@ -146,7 +194,13 @@ class FakeSpark:
             return FakeResult(
                 [FakeRow(v=s["summary"].get(prop)) for s in self.main]
             )
+        if ".snapshots" in q:  # plain snapshot listing (reconcile probe)
+            return FakeResult(
+                [FakeRow(snapshot_id=s["id"]) for s in self.all_snaps]
+            )
         if ".refs" in q and "name = 'main'" in q:
+            if self.refs_broken:
+                return FakeResult([])
             return FakeResult(
                 [FakeRow(snapshot_id=self._head())] if self.main else []
             )
@@ -170,7 +224,28 @@ class FakeSpark:
             self.main.extend(br["snaps"])
             return FakeResult([])
         if q.startswith("INSERT INTO") and "WHERE false" in q:
+            # zero-record append: some runtimes skip the commit entirely
+            if self.empty_insert_creates_snapshot:
+                self.commit("cat.db.t", {})
+            return FakeResult([])
+        if q.startswith("INSERT INTO"):
+            # non-empty append (the bootstrap sentinel row): a real data
+            # change always snapshots on a semantics-conforming runtime
             self.commit("cat.db.t", {})
+            return FakeResult([])
+        if q.startswith("DELETE FROM"):
+            self.commit("cat.db.t", {})
+            return FakeResult([])
+        if "SET TBLPROPERTIES" in q and "UNSET" not in q:
+            body = q.split("SET TBLPROPERTIES", 1)[1].strip(" ()")
+            for pair in body.split(","):
+                k, v = pair.split("=", 1)
+                self.props[k.strip().strip("'")] = v.strip().strip("'")
+            return FakeResult([])
+        if "UNSET TBLPROPERTIES" in q:
+            body = q.split("UNSET TBLPROPERTIES", 1)[1].strip(" ()")
+            for k in body.split(","):
+                self.props.pop(k.strip().strip("'"), None)
             return FakeResult([])
         return FakeResult([])
 
@@ -377,3 +452,169 @@ def test_wap_first_commit_bootstraps_initial_snapshot(fake):
         is True
     )
     assert t.committed_keys() == {"p1:snapshot:0"}
+
+
+# ---------------------------------------------------------------
+# round 4: pin the runtime-variant assumptions as executable facts
+# ---------------------------------------------------------------
+@pytest.fixture()
+def fake_factory(monkeypatch, spark):
+    monkeypatch.setattr(ice, "is_available", lambda s: True)
+    return FakeSpark
+
+
+def test_bootstrap_falls_back_to_sentinel_when_empty_insert_skipped(fake_factory):
+    """VERDICT r3 next-1: some Iceberg versions skip zero-record
+    commits, so `INSERT ... WHERE false` may create NO snapshot to
+    fork from. The adapter verifies the postcondition and falls back
+    to a sentinel append + delete in the reserved _bucket=-1 partition
+    — both non-skippable data changes — then runs WAP normally."""
+    fake = fake_factory(empty_insert_creates_snapshot=False)
+    t = ice.IcebergTable(fake, "cat.db.t")
+    log = {"options": {}}
+    out = t.replace_buckets(
+        FakeDF(fake, log), [0], commit_key="p1:snapshot:0",
+        validate=lambda: True,
+    )
+    assert out is True
+    # bootstrap: empty insert tried, then sentinel + delete, all before
+    # the branch fork
+    sqls = fake.sqls
+    i_empty = next(i for i, q in enumerate(sqls)
+                   if q.startswith("INSERT INTO") and "WHERE false" in q)
+    i_sent = next(i for i, q in enumerate(sqls)
+                  if q.startswith("INSERT INTO") and "-1 AS _bucket" in q)
+    i_del = next(i for i, q in enumerate(sqls)
+                 if q.startswith("DELETE FROM") and "_bucket = -1" in q)
+    i_branch = next(i for i, q in enumerate(sqls)
+                    if "CREATE OR REPLACE BRANCH" in q)
+    assert i_empty < i_sent < i_del < i_branch
+    # required columns got non-NULL defaults; nullable ones NULL
+    sentinel = sqls[i_sent]
+    assert "'' AS doc_id" in sentinel
+    assert "CAST(NULL AS int) AS n_tok" in sentinel
+    assert "CAST(0 AS bigint) AS _lsn" in sentinel
+    # and the data+key landed on main
+    assert t.committed_keys() == {"p1:snapshot:0"}
+
+
+def test_bootstrap_refuses_runtime_that_never_snapshots(fake_factory):
+    """If even a non-empty append yields no snapshot the runtime
+    violates Iceberg commit semantics — refuse rather than fork a
+    branch from nothing."""
+    fake = fake_factory(
+        empty_insert_creates_snapshot=False, suppress_all_commits=True
+    )
+    t = ice.IcebergTable(fake, "cat.db.t")
+    with pytest.raises(RuntimeError, match="no snapshot"):
+        t.replace_buckets(
+            FakeDF(fake, {"options": {}}), [0], commit_key="k",
+            validate=lambda: True,
+        )
+
+
+def test_reconcile_open_rejects_broken_refs_head(fake_factory):
+    """VERDICT r3 next-1b: adapter open re-validates the head
+    assumption — a table WITH snapshots whose .refs exposes no 'main'
+    row would make current_version() lie (0), so committed_keys()
+    would see no ancestors and duplicate batches would re-apply.
+    Refuse at open."""
+    fake = fake_factory(refs_broken=True)
+    fake.all_snaps = [{"id": 1, "summary": {}}]
+    fake.main = [{"id": 1, "summary": {}}]
+    with pytest.raises(RuntimeError, match="refs"):
+        ice.IcebergTable(fake, "cat.db.t")
+    # an EMPTY table with no snapshots opens fine (refs legitimately
+    # has no main row yet)
+    fake2 = fake_factory(refs_broken=True)
+    ice.IcebergTable(fake2, "cat.db.t")
+
+
+def test_keyless_validated_write_rejected(fake):
+    """ADVICE r3: keyless validated writers share (and reset) one fixed
+    audit branch — the one unsafe combination is refused outright."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    with pytest.raises(ValueError, match="commit_key"):
+        t.replace_buckets(
+            FakeDF(fake, {"options": {}}), [0], validate=lambda: True
+        )
+    # keyless UNvalidated writes stay legal (direct commit, no branch)
+    log = {"options": {}}
+    assert t.replace_buckets(FakeDF(fake, log), [0]) is True
+    assert log["committed"]
+
+
+def test_wap_summary_props_ride_the_branch_write(fake):
+    """The snapshot-property.* options are applied to the BRANCH
+    commit and become main's summary only via fast_forward — pinning
+    the 'write options ride branch writes' assumption the adapter
+    makes."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": 1, "summary": {}}]
+    log = {"options": {}}
+    t.replace_buckets(
+        FakeDF(fake, log), [0], commit_key="k1", watermark_lsn=77,
+        validate=lambda: True,
+    )
+    assert ".branch_dps_audit_" in log["write_target"]
+    published = fake.main[-1]["summary"]
+    assert published[ice.COMMIT_KEY_PROP] == "k1"
+    assert published[ice.WATERMARK_PROP] == "77"
+
+
+# ------------------------------------------------------- offline rescale
+def test_online_rescale_is_fenced_on_iceberg(fake):
+    t = ice.IcebergTable(fake, "cat.db.t")
+    with pytest.raises(NotImplementedError, match="offline full rewrite"):
+        t.begin_rescale(8)
+    with pytest.raises(NotImplementedError, match="rescale"):
+        t.split_bucket(None, 0)
+
+
+def test_offline_rescale_protocol_and_fence(fake):
+    """rescale() is a three-step resumable protocol: target property ->
+    data rewrite -> finalize; bucket_plan raises (writer fence) while
+    the target is pending; layout_token carries the transition."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": 1, "summary": {}}]
+
+    assert t.rescale(fake, 4) == {"applied": False, "reason": "noop"}
+
+    out = t.rescale(fake, 8, commit_key="rs:8")
+    assert out == {"applied": True, "from_buckets": 4, "to_buckets": 8}
+    assert fake.props["dps.num-buckets"] == "8"
+    assert ice.IcebergTable.RESCALE_TARGET_PROP not in fake.props
+    # property sequence: target set BEFORE the rewrite, finalized after
+    sqls = fake.sqls
+    i_tgt = next(i for i, q in enumerate(sqls) if "rescale-target" in q and "SET" in q and "UNSET" not in q)
+    i_fin = next(i for i, q in enumerate(sqls) if "'dps.num-buckets'='8'" in q)
+    i_unset = next(i for i, q in enumerate(sqls) if "UNSET" in q)
+    assert i_tgt < i_fin < i_unset
+    # the rewrite's commit key is on main
+    assert "rs:8" in t.committed_keys()
+
+
+def test_offline_rescale_fences_writers_and_resumes(fake):
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": 1, "summary": {ice.COMMIT_KEY_PROP: "rs:8"}}]
+    # simulate a crash AFTER the data rewrite landed (key on main)
+    # but BEFORE finalize: target pending, num-buckets still old
+    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "8"
+
+    # fence: planning a write raises CommitConflict, token carries it
+    with pytest.raises(CommitConflict, match="rescale"):
+        t.bucket_plan(F.col("doc_id"))
+    assert t.layout_token() == "4->8"
+    # rescale to a DIFFERENT target is refused while one is pending
+    with pytest.raises(CommitConflict, match="pending"):
+        t.rescale(fake, 16)
+
+    # resume with the same args: the landed rewrite short-circuits on
+    # its commit key and the protocol finalizes
+    out = t.rescale(fake, 8, commit_key="rs:8")
+    assert out["applied"] is True
+    assert fake.props["dps.num-buckets"] == "8"
+    assert ice.IcebergTable.RESCALE_TARGET_PROP not in fake.props
+    # fence lifted
+    nb, expr, token = t.bucket_plan(F.col("doc_id"))
+    assert nb == 8 and token == "8"

@@ -170,6 +170,60 @@ def decode_debezium(
     return out
 
 
+def malformed_debezium(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: StructType = TOKENS_SCHEMA,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The exact complement of ``decode_debezium(drop_malformed=True)``
+    — rows that parse but lack op/lsn/key, or do not parse at all —
+    with the ORIGINAL raw value (for replay after a fix) and a
+    classified ``reason``. This is the dead-letter feed (VERDICT r3
+    next-5): at 10^10 events/day silently dropping rejects is an audit
+    gap; routing them keeps the main decode untouched.
+
+    Output: (value string, reason string). Reasons:
+    ``unparseable_json`` when from_json could not parse the line;
+    otherwise a comma-joined list of the missing required fields
+    (``missing_op``, ``missing_lsn``, ``missing_<key_col>``)."""
+    # PERMISSIVE from_json yields a struct of NULLs for an unparseable
+    # line (not a NULL struct), so 'did not parse' is detected via the
+    # corrupt-record channel: a _corrupt field in the schema receives
+    # the raw text exactly when parsing failed.
+    schema = StructType(
+        list(_parse_schema(payload_schema).fields)
+        + [StructField("_corrupt", StringType(), True)]
+    )
+    parsed = F.from_json(
+        F.col(value_col),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    env = _env(parsed, payload_schema)
+    op = env["op"]
+    lsn = env["source"]["lsn"]
+    key = F.coalesce(env["after"][key_col], env["before"][key_col])
+    missing = F.concat_ws(
+        ",",
+        F.when(op.isNull(), F.lit("missing_op")),
+        F.when(lsn.isNull(), F.lit("missing_lsn")),
+        F.when(key.isNull(), F.lit(f"missing_{key_col}")),
+    )
+    reason = F.when(
+        parsed["_corrupt"].isNotNull(), F.lit("unparseable_json")
+    ).otherwise(missing)
+    return (
+        raw.select(
+            F.col(value_col).alias("value"),
+            reason.alias("reason"),
+            (op.isNull() | lsn.isNull() | key.isNull()).alias("_bad"),
+        )
+        .where(F.col("_bad"))
+        .drop("_bad")
+    )
+
+
 class DebeziumJsonSource(ParquetWalSource):
     """The ParquetWalSource contract over Debezium-JSON change feeds:
     WAL segments are ``*.jsonl`` files of envelopes (one per line) —
@@ -185,11 +239,98 @@ class DebeziumJsonSource(ParquetWalSource):
         table: str = "tokens",
         num_buckets: int = 32,
         payload_schema: StructType = TOKENS_SCHEMA,
+        quarantine_dir: str | None = None,
     ):
         super().__init__(
             spark, state_path, log_dir, table=table, num_buckets=num_buckets
         )
         self.payload_schema = payload_schema
+        # dead-letter sink: when set, every wal_batch ALSO routes its
+        # malformed envelopes (raw line + classified reason) to
+        # <quarantine_dir>/rejects and appends a per-batch count row to
+        # <quarantine_dir>/_batches — silent drops become auditable.
+        self.quarantine_dir = quarantine_dir
+        self.last_quarantined: int = 0
+        if quarantine_dir:
+            import pyarrow as pa
+
+            from debezium_partial_snapshotter_spark.plans.metrics import (
+                AppendLog,
+            )
+
+            self._qlog = AppendLog(
+                os.path.join(quarantine_dir, "_batches"),
+                pa.schema(
+                    [
+                        pa.field("ts_ns", pa.int64()),
+                        pa.field("n_files", pa.int64()),
+                        pa.field("rows_quarantined", pa.int64()),
+                        pa.field("files", pa.list_(pa.string())),
+                    ]
+                ),
+            )
+            # corrupt rows carry no LSN, so the watermark can't dedup
+            # them across wal_batch calls (which re-list ALL segments).
+            # Dedup by file path instead, seeded from the batch log so
+            # a restarted process does not re-quarantine old segments.
+            # (Crash between the rejects write and the log append can
+            # still duplicate one batch: dead-lettering is at-least-
+            # once, like every DLQ; `value` makes rejects re-dedupable.)
+            df = self._qlog.read_pandas()
+            self._quarantined_paths: set[str] = (
+                set() if not len(df) else {p for fs in df["files"] for p in fs}
+            )
+
+    def _quarantine(self, paths: list[str]) -> int:
+        """Route malformed envelopes to the dead-letter sink. Cost: one
+        extra parse of the batch to COUNT rejects (usually zero, so no
+        write happens); a second only when rejects exist. Opt-in via
+        ``quarantine_dir``."""
+        import time
+
+        new_paths = [p for p in paths if p not in self._quarantined_paths]
+        if not new_paths:
+            self.last_quarantined = 0
+            return 0
+        dead = malformed_debezium(
+            self.spark.read.text(new_paths), payload_schema=self.payload_schema
+        )
+        n = dead.count()
+        self.last_quarantined = n
+        if n:
+            dead.withColumn(
+                "quarantined_at", F.current_timestamp()
+            ).write.mode("append").parquet(
+                os.path.join(self.quarantine_dir, "rejects")
+            )
+        # record the batch (even clean ones: the file-dedup seed), but
+        # only count rows when rejects exist
+        self._qlog.append(
+            [
+                {
+                    "ts_ns": time.time_ns(),
+                    "n_files": len(new_paths),
+                    "rows_quarantined": n,
+                    "files": new_paths,
+                }
+            ]
+        )
+        self._quarantined_paths.update(new_paths)
+        return n
+
+    def quarantine_stats(self) -> dict:
+        """Total dead-letter counts (the per-batch metrics counter)."""
+        if not self.quarantine_dir:
+            return {"batches_with_rejects": 0, "rows_quarantined": 0}
+        df = self._qlog.read_pandas()
+        return {
+            "batches_with_rejects": int((df["rows_quarantined"] > 0).sum())
+            if len(df)
+            else 0,
+            "rows_quarantined": int(df["rows_quarantined"].sum())
+            if len(df)
+            else 0,
+        }
 
     def _decode(self, raw: DataFrame) -> DataFrame:
         return decode_debezium(
@@ -217,6 +358,8 @@ class DebeziumJsonSource(ParquetWalSource):
             return self.spark.createDataFrame(
                 [], self._decode(self.spark.createDataFrame([("x",)], "value string")).schema
             )
+        if self.quarantine_dir:
+            self._quarantine(paths)
         df = self._decode(self.spark.read.text(paths))
         if since_lsn is not None:
             # post-parse filter: JSON has no storage-level stats to

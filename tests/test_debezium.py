@@ -243,3 +243,158 @@ def test_debezium_stream_feeds_watermarked_rollup(spark, tmp_warehouse):
     assert out[(base, "c")] == (2, 4)  # late d3 create dropped
     assert out[(base + 300, "u")] == (1, 2)
     assert out[(base + 600, "u")] == (1, 2)
+
+
+# ------------------------------------------------------------ dead letter
+def test_malformed_classification(spark):
+    """malformed_debezium is the exact complement of the default
+    decode filter, with classified reasons and the ORIGINAL raw line
+    preserved for replay."""
+    from debezium_partial_snapshotter_spark.sources.debezium import (
+        malformed_debezium,
+    )
+
+    lines = [
+        _env("u", 10, after=_payload("d1", [1, 2])),          # good
+        "this is not json at all {{{",                         # unparseable
+        json.dumps({"op": None, "after": _payload("d2", [3]),
+                    "source": {"lsn": 11}}),                   # no op
+        json.dumps({"op": "u", "after": _payload("d3", [4]),
+                    "source": {"snapshot": "false"}}),         # no lsn
+        _env("u", 12),                                         # no key (no before/after)
+        json.dumps({"op": None, "source": {}}),                # several missing
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    dead = {r["value"]: r["reason"] for r in malformed_debezium(raw).collect()}
+    assert lines[0] not in dead
+    assert dead[lines[1]] == "unparseable_json"
+    assert dead[lines[2]] == "missing_op"
+    assert dead[lines[3]] == "missing_lsn"
+    assert dead[lines[4]] == "missing_doc_id"
+    assert dead[lines[5]] == "missing_op,missing_lsn,missing_doc_id"
+    # complement property: good + dead == all
+    good = decode_debezium(raw)
+    assert good.count() + len(dead) == len(lines)
+
+
+def test_quarantine_sink_routes_rejects_and_applies_good_rows(
+    spark, tmp_warehouse
+):
+    """VERDICT r3 next-5 'Done' criterion: feed a corrupt envelope
+    through the engine; the quarantine table gets the reject + a
+    per-batch count row, and the main table state is exactly what the
+    good rows produce."""
+    from debezium_partial_snapshotter_spark.operators.upsert import (
+        apply_batch,
+        empty_table_for,
+    )
+    from debezium_partial_snapshotter_spark.schemas import TOKENS_SCHEMA
+
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    qdir = os.path.join(tmp_warehouse, "quarantine")
+    os.makedirs(log_dir)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00001.jsonl"),
+        [
+            _env("u", 10, after=_payload("d1", [1, 2])),
+            "garbage not json",
+            json.dumps({"op": "u", "after": _payload("d9", [9]),
+                        "source": {}}),  # missing lsn
+            _env("u", 11, after=_payload("d2", [3])),
+        ],
+    )
+    src = DebeziumJsonSource(
+        spark, None, log_dir, num_buckets=NB, quarantine_dir=qdir
+    )
+    t = empty_table_for(os.path.join(tmp_warehouse, "t"), TOKENS_SCHEMA, NB)
+    batch = src.wal_batch()
+    assert src.last_quarantined == 2
+    assert apply_batch(t, batch, commit_key="q:0")["applied"]
+
+    got = {r["doc_id"] for r in t.read(spark).collect()}
+    assert got == {"d1", "d2"}  # corrupt rows never reached the table
+
+    rejects = spark.read.parquet(os.path.join(qdir, "rejects"))
+    rows = {r["reason"] for r in rejects.collect()}
+    assert rows == {"unparseable_json", "missing_lsn"}
+    assert rejects.columns == ["value", "reason", "quarantined_at"]
+    stats = src.quarantine_stats()
+    assert stats == {"batches_with_rejects": 1, "rows_quarantined": 2}
+
+    # a clean follow-up batch adds no quarantine rows (count stays)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00002.jsonl"),
+        [_env("u", 12, after=_payload("d3", [5]))],
+    )
+    assert apply_batch(t, src.wal_batch(since_lsn=11), commit_key="q:1")["applied"]
+    assert src.last_quarantined == 0
+    assert src.quarantine_stats()["rows_quarantined"] == 2
+
+
+# ------------------------------------------------------------ kafka smoke
+def _kafka_available(spark) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_kafka_stream_smoke(spark, tmp_warehouse):
+    """Gated end-to-end smoke over a real broker (VERDICT r3 next-7):
+    green where spark-sql-kafka AND a broker (DPS_KAFKA_BOOTSTRAP) are
+    available, skipped elsewhere — this sandbox ships neither, so only
+    the decoder itself (golden-tested above) is exercised here. The
+    produce side uses Spark's own batch kafka sink so no extra client
+    library is needed."""
+    import uuid
+
+    import pytest as _pytest
+
+    if not _kafka_available(spark):
+        _pytest.skip("spark-sql-kafka package not on the classpath")
+    bootstrap = os.environ.get("DPS_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        _pytest.skip("no broker (set DPS_KAFKA_BOOTSTRAP=host:port)")
+
+    from debezium_partial_snapshotter_spark.operators.upsert import (
+        apply_batch,
+        empty_table_for,
+    )
+    from debezium_partial_snapshotter_spark.schemas import TOKENS_SCHEMA
+
+    topic = f"dps-smoke-{uuid.uuid4().hex[:8]}"
+    lines = [
+        _env("u", 10, after=_payload("d1", [1, 2])),
+        _env("u", 11, after=_payload("d2", [3]), wrapped=True),
+        _env("d", 12, before=_payload("d1", [1, 2])),
+    ]
+    spark.createDataFrame([(l,) for l in lines], "value string").write.format(
+        "kafka"
+    ).option("kafka.bootstrap.servers", bootstrap).option(
+        "topic", topic
+    ).save()
+
+    src = DebeziumJsonSource(spark, None, None, num_buckets=NB)
+    t = empty_table_for(os.path.join(tmp_warehouse, "t"), TOKENS_SCHEMA, NB)
+
+    def handle(batch_df, batch_id):
+        apply_batch(t, batch_df, commit_key=f"k:{batch_id}")
+
+    q = (
+        src.kafka_stream(bootstrap, topic)
+        .writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", os.path.join(tmp_warehouse, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {r["doc_id"] for r in t.read(spark).collect()}
+    assert got == {"d2"}  # d1 deleted, d2 survives

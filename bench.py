@@ -218,11 +218,30 @@ def main() -> None:
     sf = guess_sf(SF_DIR)
     spark = get_spark("dps-bench", parallelism=CPUS, shuffle_partitions=CPUS)
 
-    replay = run_replay(spark, sf)
+    replay_only = bool(os.environ.get("DPS_BENCH_REPLAY_ONLY"))
+    # the headline replay number is median-of-n (VERDICT r3 item 8:
+    # one parsed run is noise-exposed on a shared host — r3's "10%
+    # in-bench regression" was run-to-run variance). Replay-only mode
+    # (the scaling bench) keeps n=1: that script aggregates its own
+    # repeats and interleaves run order itself.
+    n_runs = int(
+        os.environ.get("DPS_BENCH_REPLAY_RUNS", "1" if replay_only else "3")
+    )
+    runs = [run_replay(spark, sf) for _ in range(n_runs)]
+    by_time = sorted(runs, key=lambda r: r["replay_sec"])
+    replay = dict(by_time[len(runs) // 2])  # median by wall time
+    # in-session repeats expose a large JVM-warmup effect (measured
+    # ~27.6s cold -> ~8.4s warm at sf0.1/local[32]): the engine is a
+    # LONG-RUNNING service, so the warm median is the steady-state
+    # number, but rounds 1-3 reported a cold first run — keep both,
+    # in run order, for round-over-round comparability.
+    replay["replay_runs_sec"] = [r["replay_sec"] for r in runs]
+    replay["replay_cold_sec"] = runs[0]["replay_sec"]
+    replay["replay_cold_events_per_sec"] = runs[0]["replay_events_per_sec"]
 
     qtimes: dict[str, float] = {"cdc_replay": replay["replay_sec"]}
     qs = entry_mod.queries()
-    if os.environ.get("DPS_BENCH_REPLAY_ONLY"):
+    if replay_only:
         out = {
             "metric": "cdc_replay",
             "value": replay["replay_sec"],
@@ -268,6 +287,14 @@ def main() -> None:
         # loud failure if R1_CORE ever drifts from the timed set — a
         # silent .get(q, 0) would skew the round-over-round comparison
         "core_sec": round(sum(qtimes[q] for q in R1_CORE), 3),
+        # r1-r3 core_sec embedded a COLD replay; this is the
+        # methodology-comparable variant after the median-of-n change
+        "core_sec_cold_replay": round(
+            sum(qtimes[q] for q in R1_CORE)
+            - qtimes["cdc_replay"]
+            + replay["replay_cold_sec"],
+            3,
+        ),
         "sf": sf,
         "parallelism": CPUS,
         **replay,

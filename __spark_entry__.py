@@ -1501,6 +1501,34 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_chunked(spark, sf_dir):
+    """The skew-safe CHUNKED as-of plan (round 4): windows partition by
+    (key, 1-hour time chunk) with a carry-in pass over per-chunk build
+    tails, so a hot key becomes #chunks tasks instead of one. Output is
+    defined to be IDENTICAL to the unchunked plan — the oracle is the
+    very same SQL as `asof_join`, which is the point: the driver
+    verifies the rewrite, not a weaker contract."""
+    from debezium_partial_snapshotter_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    builds = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        probes, builds, key="user_id", ts="ts", value_col="value",
+        seq_col="event_id", chunk=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "asof_value",
+    )
+
+
 SQL_ASOF_JOIN = """
 WITH u AS (
   SELECT user_id AS _k, ts AS _ts, 0 AS _side, event_id AS _seq,
@@ -1625,11 +1653,25 @@ def q_session_rollup(spark, sf_dir):
     """Gap-based session windows (30 min) per user_id via Spark's
     native session_window aggregation; session end = last event + gap.
     The oracle reproduces the merge with a gaps-and-islands window
-    query (break when the gap is >= 30 min — Spark's session window is
-    end-exclusive, so an event at exactly last+gap starts a new
-    session)."""
+    query. Break rule corrected round 4: Spark merges sessions whose
+    windows TOUCH, so two events exactly gap apart stay in one session
+    — the break is strictly > 30 min (verified against
+    F.session_window directly; the old >= was latently wrong but never
+    fired on this continuous-timestamp data)."""
     return win.session_rollup(
         _t(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+def q_session_rollup_chunked(spark, sf_dir):
+    """The skew-safe CHUNKED session plan (round 4): local sessionize
+    per (key, 2-hour chunk), then a per-key merge over only each
+    chunk's first/last partial sessions (<= 2 rows per (key, chunk) —
+    never per-event). Defined to be identical to the native plan, so
+    the oracle is the very same SQL as `session_rollup`: the driver
+    verifies the rewrite itself."""
+    return win.session_rollup(
+        _t(spark, sf_dir, "events"), gap="30 minutes", chunk=7200
     )
 
 
@@ -1637,7 +1679,7 @@ SQL_SESSION_ROLLUP = """
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1671,7 +1713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "window_rollup": q_window_rollup,
         "session_rollup": q_session_rollup,
+        "session_rollup_chunked": q_session_rollup_chunked,
         "asof_join": q_asof_join,
+        "asof_join_chunked": q_asof_join_chunked,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1713,7 +1757,9 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": SQL_SALTED_AGG,
         "window_rollup": SQL_WINDOW_ROLLUP,
         "session_rollup": SQL_SESSION_ROLLUP,
+        "session_rollup_chunked": SQL_SESSION_ROLLUP,
         "asof_join": SQL_ASOF_JOIN,
+        "asof_join_chunked": SQL_ASOF_JOIN,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,

@@ -65,17 +65,55 @@ def tumbling_rollup(
     )
 
 
+_GAP_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _interval_us(gap: str) -> int:
+    n, unit = gap.split()
+    return int(float(n) * _GAP_UNITS[unit.lower()] * 1_000_000)
+
+
 def session_rollup(
     df: DataFrame,
     ts_col: str = "ts",
     key: str = "user_id",
     gap: str = "30 minutes",
     agg_col: str = "value",
+    chunk: int | None = None,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when the key is
-    silent for longer than ``gap``. Output one row per session with
-    Spark's session bounds (start = first event, end = last event +
-    gap, both as epoch seconds)."""
+    silent for STRICTLY LONGER than ``gap`` (two events exactly
+    ``gap`` apart still merge — their [t, t+gap] windows touch; pinned
+    by test_session_rollup_chunked_matches_native_random and the
+    round-4 boundary probe). Output one row per session with Spark's
+    session bounds (start = first event, end = last event + gap, both
+    as epoch seconds).
+
+    ``chunk`` (seconds): skew-safe mode. The native ``session_window``
+    merge shuffles by KEY alone, so one hot key's session merging is a
+    single task regardless of cluster size (same window-skew class as
+    the as-of join — SCALING.md §7). With ``chunk`` set, events
+    sessionize locally per (key, time-chunk) — the hot key becomes
+    #chunks tasks — and only each chunk's FIRST and LAST partial
+    sessions (the only ones that can cross a boundary: any interior
+    session is already fenced by > gap breaks on both sides inside
+    its chunk) go through a per-key merge pass whose input is at most
+    2 rows per (key, chunk), never per-event. Output is identical to
+    the native plan (pinned by tests/test_windows.py equivalence
+    tests). Works for any chunk width, including chunks narrower than
+    the gap — the boundary merge compares real event times, so empty
+    intermediate chunks never split a session."""
+    if chunk is not None:
+        return _session_rollup_chunked(df, ts_col, key, gap, agg_col, chunk)
     sw = F.session_window(F.col(ts_col), gap)
     return (
         df.groupBy(sw.alias("w"), key)
@@ -90,6 +128,109 @@ def session_rollup(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def _session_rollup_chunked(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    gap: str,
+    agg_col: str,
+    chunk: int,
+) -> DataFrame:
+    """See session_rollup(chunk=...). All event-time arithmetic is in
+    exact integer MICROSECONDS (unix_micros) — double epoch seconds
+    could misround a diff exactly at the gap boundary, diverging from
+    the native plan's microsecond-interval comparison. Break rule
+    matches Spark's session_window (and the DuckDB oracle): a new
+    session when ts - prev_ts > gap (STRICT: Spark merges sessions
+    whose windows touch, so events exactly gap apart stay in one
+    session — verified against F.session_window directly)."""
+    from pyspark.sql import Window
+
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    gap_us = _interval_us(gap)
+    chunk_us = int(chunk) * 1_000_000
+    ev = df.select(
+        F.col(key).alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(agg_col).alias("_v"),
+    ).where(F.col("_us").isNotNull())
+    ev = ev.withColumn("_chunk", F.floor(F.col("_us") / F.lit(chunk_us)))
+
+    # phase 1: local sessionize per (key, chunk) — the heavy pass, on
+    # a partitioning the hot key cannot skew
+    w1 = Window.partitionBy("_k", "_chunk").orderBy("_us")
+    brk = F.when(
+        F.lag("_us").over(w1).isNull()
+        | ((F.col("_us") - F.lag("_us").over(w1)) > gap_us),
+        1,
+    ).otherwise(0)
+    loc = (
+        ev.withColumn(
+            "_sid",
+            F.sum(brk).over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("_k", "_chunk", "_sid")
+        .agg(
+            F.min("_us").alias("_s0"),
+            F.max("_us").alias("_s1"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_sum"),
+        )
+    )
+    # the groupBy key (_k,_chunk,_sid) is a superset of the window
+    # partitioning (_k,_chunk), so no second exchange is planned here
+
+    # phase 2: only each chunk's first/last partial session can cross
+    # a boundary; everything else is final
+    w2 = Window.partitionBy("_k", "_chunk")
+    loc = loc.withColumn(
+        "_edge",
+        (F.col("_sid") == F.min("_sid").over(w2))
+        | (F.col("_sid") == F.max("_sid").over(w2)),
+    )
+    interior = loc.where(~F.col("_edge")).select(
+        "_k", "_s0", "_s1", "_n", "_sum"
+    )
+    cand = loc.where(F.col("_edge"))
+    w3 = Window.partitionBy("_k").orderBy("_s0")
+    brk2 = F.when(
+        F.lag("_s1").over(w3).isNull()
+        | ((F.col("_s0") - F.lag("_s1").over(w3)) > gap_us),
+        1,
+    ).otherwise(0)
+    merged = (
+        cand.withColumn(
+            "_isl",
+            F.sum(brk2).over(
+                w3.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("_k", "_isl")
+        .agg(
+            F.min("_s0").alias("_s0"),
+            F.max("_s1").alias("_s1"),
+            F.sum("_n").alias("_n"),
+            F.sum("_sum").alias("_sum"),
+        )
+        .select("_k", "_s0", "_s1", "_n", "_sum")
+    )
+    out = interior.unionByName(merged)
+    return out.select(
+        F.col("_k").alias(key),
+        F.floor(F.col("_s0") / F.lit(1_000_000.0)).cast("long").alias(
+            "session_start"
+        ),
+        F.floor((F.col("_s1") + gap_us) / F.lit(1_000_000.0)).cast(
+            "long"
+        ).alias("session_end"),
+        F.col("_n").alias("n_events"),
+        F.col("_sum").alias("sum_value"),
     )
 
 

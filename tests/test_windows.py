@@ -316,3 +316,89 @@ def test_local_dir_sweep_legacy_mtime(tmp_path):
     _sweep_stale_local_dirs(root, max_age_sec=5400)
     left = sorted(os.listdir(root))
     assert left == ["blockmgr-live", "not-spark-thing"]
+
+
+# ----------------------------------------------------------------------
+# chunked (skew-safe) session rollup: identical output to native plan
+# ----------------------------------------------------------------------
+def _sess_set(df):
+    return {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in df.collect()
+    }
+
+
+def test_session_rollup_chunked_matches_native_random(spark):
+    """Randomized equivalence: many keys, bursts and silences, chunk
+    width NOT a divisor of the gap, sessions spanning several chunks,
+    and chunks narrower than the gap (empty-chunk bridging)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        session_rollup,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base = datetime(2024, 3, 1)
+    for k in range(6):
+        t = 0.0
+        for _ in range(300):
+            # mixture: mostly small gaps (inside sessions), sometimes
+            # long silences (session breaks), occasionally EXACTLY the
+            # gap (the >= boundary)
+            r = rng.random()
+            if r < 0.7:
+                t += float(rng.integers(1, 900))
+            elif r < 0.9:
+                t += float(rng.integers(1800, 7200))
+            else:
+                t += 1800.0  # exactly the 30-minute gap: must MERGE
+                # (Spark session windows touch at t+gap and coalesce)
+            rows.append((f"u{k}", base + timedelta(seconds=t),
+                         float(rng.random())))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = session_rollup(df, gap="30 minutes")
+    for chunk in (3600, 777, 60):  # incl. chunks << gap
+        chunked = session_rollup(df, gap="30 minutes", chunk=chunk)
+        assert _sess_set(chunked) == _sess_set(native), f"chunk={chunk}"
+
+
+def test_session_rollup_chunked_hot_key(spark):
+    """One key with 50k events (the single-task case the chunked plan
+    exists for) plus cold keys: identical sessions."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        session_rollup,
+    )
+
+    rng = np.random.default_rng(9)
+    base = datetime(2024, 3, 1)
+    t = 0.0
+    rows = []
+    for _ in range(50_000):
+        t += float(rng.integers(1, 120)) if rng.random() < 0.98 else 7200.0
+        rows.append(("hot", base + timedelta(seconds=t), 1.0))
+    rows += [("cold", base + timedelta(seconds=10), 2.0),
+             ("cold", base + timedelta(seconds=100_000), 3.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = session_rollup(df, gap="30 minutes")
+    chunked = session_rollup(df, gap="30 minutes", chunk=3600)
+    assert _sess_set(chunked) == _sess_set(native)
+
+
+def test_session_rollup_chunk_validation(spark):
+    import pytest
+
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        session_rollup,
+    )
+
+    df = spark.createDataFrame([("u", T(10, 0), 1.0)],
+                               ["user_id", "ts", "value"])
+    with pytest.raises(ValueError, match="positive"):
+        session_rollup(df, chunk=0)

@@ -55,7 +55,9 @@ BENCH_QUERIES = [
     "salted_agg",
     "window_rollup",
     "session_rollup",
+    "session_rollup_chunked",
     "asof_join",
+    "asof_join_chunked",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",

@@ -194,6 +194,12 @@ def _session_rollup_chunked(
         (F.col("_sid") == F.min("_sid").over(w2))
         | (F.col("_sid") == F.max("_sid").over(w2)),
     )
+    # interior and cand are two branches over the SAME subtree, and
+    # Catalyst does not reuse exchanges across separately optimized
+    # subtrees (the round-3 jaccard lesson) — without truncation the
+    # whole scan -> (k, chunk) shuffle -> sessionize pipeline runs
+    # twice. loc is O(sessions), narrow, and safe to pin.
+    loc = loc.localCheckpoint(eager=False)
     interior = loc.where(~F.col("_edge")).select(
         "_k", "_s0", "_s1", "_n", "_sum"
     )

@@ -226,8 +226,13 @@ def main() -> None:
     # in-bench regression" was run-to-run variance). Replay-only mode
     # (the scaling bench) keeps n=1: that script aggregates its own
     # repeats and interleaves run order itself.
-    n_runs = int(
-        os.environ.get("DPS_BENCH_REPLAY_RUNS", "1" if replay_only else "3")
+    n_runs = max(
+        1,
+        int(
+            os.environ.get(
+                "DPS_BENCH_REPLAY_RUNS", "1" if replay_only else "3"
+            )
+        ),
     )
     runs = [run_replay(spark, sf) for _ in range(n_runs)]
     by_time = sorted(runs, key=lambda r: r["replay_sec"])

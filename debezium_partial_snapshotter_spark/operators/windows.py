@@ -78,8 +78,18 @@ _GAP_UNITS = {
 
 
 def _interval_us(gap: str) -> int:
-    n, unit = gap.split()
-    return int(float(n) * _GAP_UNITS[unit.lower()] * 1_000_000)
+    """'90 seconds', '1 hour 30 minutes', ... -> exact microseconds.
+    Multi-unit strings are valid Spark interval syntax accepted by the
+    native session_window path, so the chunked path must parse them
+    too (mode-dependent crashes would break the identical-output
+    contract)."""
+    toks = gap.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse interval {gap!r}")
+    total = 0
+    for i in range(0, len(toks), 2):
+        total += int(float(toks[i]) * _GAP_UNITS[toks[i + 1].lower()] * 1_000_000)
+    return total
 
 
 def session_rollup(
@@ -88,7 +98,7 @@ def session_rollup(
     key: str = "user_id",
     gap: str = "30 minutes",
     agg_col: str = "value",
-    chunk: int | None = None,
+    chunk: int | float | None = None,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when the key is
     silent for STRICTLY LONGER than ``gap`` (two events exactly
@@ -137,7 +147,7 @@ def _session_rollup_chunked(
     key: str,
     gap: str,
     agg_col: str,
-    chunk: int,
+    chunk: int | float,
 ) -> DataFrame:
     """See session_rollup(chunk=...). All event-time arithmetic is in
     exact integer MICROSECONDS (unix_micros) — double epoch seconds
@@ -149,10 +159,15 @@ def _session_rollup_chunked(
     session — verified against F.session_window directly)."""
     from pyspark.sql import Window
 
-    if chunk <= 0:
-        raise ValueError(f"chunk must be positive, got {chunk}")
     gap_us = _interval_us(gap)
-    chunk_us = int(chunk) * 1_000_000
+    # fractional chunk widths are legal (sub-second gaps are); the
+    # floor must happen in MICROSECONDS — int(chunk) would turn
+    # chunk=0.5 into chunk_us=0, and _us/0 is NULL in Spark, silently
+    # collapsing the partitioning back to per-key (the exact
+    # single-task plan this mode exists to avoid)
+    chunk_us = int(float(chunk) * 1_000_000)
+    if chunk_us <= 0:
+        raise ValueError(f"chunk must be positive (>= 1 microsecond), got {chunk}")
     ev = df.select(
         F.col(key).alias("_k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),

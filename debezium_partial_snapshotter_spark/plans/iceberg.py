@@ -568,7 +568,11 @@ class IcebergTable:
            consistent routing exists while data is part-old/part-new);
         2. rewrite every partition routed by N (idempotent: a resumed
            run with the same ``commit_key`` short-circuits if the data
-           commit already landed);
+           commit already landed — the key is NAMESPACED with the
+           old->new transition, so a caller key that collides with an
+           unrelated engine batch key, or with a PREVIOUS rescale to a
+           different count, can never skip the rewrite while step 3
+           still flips the bucket-count property);
         3. ``SET 'dps.num-buckets'='N'`` + unset the target.
 
         A crash between any two steps is recovered by RE-RUNNING
@@ -576,7 +580,13 @@ class IcebergTable:
         the rerun resume (never report 'noop') and writers stay fenced
         until step 3. Callers must quiesce/drain writers first — this
         is an offline operation; the fence turns 'forgot to quiesce'
-        into clean conflicts instead of silent misrouting."""
+        into clean conflicts instead of silent misrouting.
+
+        ``commit_key`` identifies THIS rescale operation (standard
+        exactly-once key contract, same as engine batches): reuse of
+        one key across DIFFERENT logical rescales is a caller error —
+        with the transition namespacing it is only reachable by
+        rescaling A->B with key K, then B->A, then A->B with K again."""
         from debezium_partial_snapshotter_spark.functions import bucket_id
 
         n = int(new_num_buckets)
@@ -600,10 +610,21 @@ class IcebergTable:
         staged = df.withColumn(
             "_bucket", bucket_id(F.col(self.bucket_key), n)
         )
+        # namespace the idempotence key with the transition: a False
+        # return from replace_buckets then ALWAYS means "this exact
+        # old->new rewrite already landed" (safe to finalize), never a
+        # collision with an engine batch key or an earlier rescale to a
+        # different count (which would have skipped the rewrite while
+        # step 3 still flipped the property — silent misrouting).
+        scoped_key = (
+            f"{commit_key}::rescale:{old_nb}->{n}"
+            if commit_key is not None
+            else None
+        )
         self.replace_buckets(
             staged,
             affected_buckets=list(range(max(old_nb, n))),
-            commit_key=commit_key,
+            commit_key=scoped_key,
         )
         self.spark.sql(
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "

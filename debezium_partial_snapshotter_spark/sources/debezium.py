@@ -355,6 +355,7 @@ class DebeziumJsonSource(ParquetWalSource):
         if paths is None:
             paths = self.wal_segment_paths()
         if not paths:
+            self.last_quarantined = 0  # empty poll: nothing rejected
             return self.spark.createDataFrame(
                 [], self._decode(self.spark.createDataFrame([("x",)], "value string")).schema
             )

@@ -398,3 +398,21 @@ def test_kafka_stream_smoke(spark, tmp_warehouse):
         q.stop()
     got = {r["doc_id"] for r in t.read(spark).collect()}
     assert got == {"d2"}  # d1 deleted, d2 survives
+
+
+def test_last_quarantined_resets_on_empty_poll(spark, tmp_warehouse):
+    """Round-4 review finding: an empty poll (no segments) must reset
+    last_quarantined so ops loops don't re-count the previous batch."""
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    qdir = os.path.join(tmp_warehouse, "q")
+    os.makedirs(log_dir)
+    _write_jsonl(os.path.join(log_dir, "seg-00001.jsonl"),
+                 ["not json", _env("u", 1, after=_payload("d1", [1]))])
+    src = DebeziumJsonSource(spark, None, log_dir, num_buckets=NB,
+                             quarantine_dir=qdir)
+    src.wal_batch().count()
+    assert src.last_quarantined == 1
+    for f in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, f))
+    src.wal_batch()  # empty poll
+    assert src.last_quarantined == 0

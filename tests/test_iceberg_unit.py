@@ -590,13 +590,16 @@ def test_offline_rescale_protocol_and_fence(fake):
     i_fin = next(i for i, q in enumerate(sqls) if "'dps.num-buckets'='8'" in q)
     i_unset = next(i for i, q in enumerate(sqls) if "UNSET" in q)
     assert i_tgt < i_fin < i_unset
-    # the rewrite's commit key is on main
-    assert "rs:8" in t.committed_keys()
+    # the rewrite's commit key (transition-namespaced, round-4 review
+    # fix) is on main
+    assert "rs:8::rescale:4->8" in t.committed_keys()
 
 
 def test_offline_rescale_fences_writers_and_resumes(fake):
     t = ice.IcebergTable(fake, "cat.db.t")
-    fake.main = [{"id": 1, "summary": {ice.COMMIT_KEY_PROP: "rs:8"}}]
+    fake.main = [
+        {"id": 1, "summary": {ice.COMMIT_KEY_PROP: "rs:8::rescale:4->8"}}
+    ]
     # simulate a crash AFTER the data rewrite landed (key on main)
     # but BEFORE finalize: target pending, num-buckets still old
     fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "8"
@@ -618,3 +621,25 @@ def test_offline_rescale_fences_writers_and_resumes(fake):
     # fence lifted
     nb, expr, token = t.bucket_plan(F.col("doc_id"))
     assert nb == 8 and token == "8"
+
+
+def test_rescale_key_namespaced_against_collisions(fake):
+    """Round-4 review finding: a caller commit_key colliding with an
+    unrelated engine batch key (or an earlier rescale to a DIFFERENT
+    count) must not skip the rewrite while the bucket-count property
+    still flips. The rescale key is namespaced with the old->new
+    transition."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    # an unrelated engine batch already committed plain key 'k1'
+    fake.main = [{"id": 1, "summary": {ice.COMMIT_KEY_PROP: "k1"}}]
+    out = t.rescale(fake, 8, commit_key="k1")
+    assert out["applied"] is True
+    # the rewrite LANDED (scoped key on main), property flipped
+    assert "k1::rescale:4->8" in t.committed_keys()
+    assert fake.props["dps.num-buckets"] == "8"
+    # resume semantics still work: same args short-circuit on the
+    # scoped key but still finalize
+    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "8"
+    fake.props["dps.num-buckets"] = "4"
+    out2 = t.rescale(fake, 8, commit_key="k1")
+    assert out2["applied"] is True and fake.props["dps.num-buckets"] == "8"

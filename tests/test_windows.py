@@ -402,3 +402,36 @@ def test_session_rollup_chunk_validation(spark):
                                ["user_id", "ts", "value"])
     with pytest.raises(ValueError, match="positive"):
         session_rollup(df, chunk=0)
+
+
+def test_session_rollup_chunked_multiunit_gap_and_fractional_chunk(spark):
+    """Round-4 review findings: multi-unit gap strings (valid for the
+    native path) must not crash the chunked path, and fractional chunk
+    widths must not truncate to a zero-width chunk (which would
+    silently collapse the partitioning back to per-key)."""
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        _interval_us,
+        session_rollup,
+    )
+
+    assert _interval_us("1 hour 30 minutes") == 5_400_000_000
+    assert _interval_us("90 minutes") == 5_400_000_000
+
+    rows = [("u", T(10, 0), 1.0), ("u", T(11, 29), 2.0),  # 89min < 90min gap
+            ("u", T(13, 30), 4.0)]                         # 121min > gap
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = session_rollup(df, gap="1 hour 30 minutes")
+    chunked = session_rollup(df, gap="1 hour 30 minutes", chunk=3600)
+    assert _sess_set(chunked) == _sess_set(native)
+    assert len(_sess_set(native)) == 2
+
+    # fractional chunk: 0.5s chunks with a 1-second gap still partition
+    # by real chunks (chunk_us=500000, never 0) and stay equivalent
+    import datetime as _dt
+    ms = _dt.timedelta(milliseconds=1)
+    rows2 = [("u", T(10, 0, 0) + i * 300 * ms, 1.0) for i in range(10)]
+    rows2.append(("u", T(10, 0, 30), 9.0))
+    df2 = spark.createDataFrame(rows2, ["user_id", "ts", "value"])
+    nat2 = session_rollup(df2, gap="1 seconds")
+    ch2 = session_rollup(df2, gap="1 seconds", chunk=0.5)
+    assert _sess_set(ch2) == _sess_set(nat2)

@@ -310,6 +310,13 @@ class PartialIngestRunner:
             events = self.source.wal_batch(since_lsn=wm)
         events = events.where(F.col("lsn") > F.lit(wm))
         stats = self._apply(events, "tail", key)
+        # dead-letter visibility (VERDICT r3 next-5): sources with a
+        # quarantine sink report how many envelopes this batch rejected
+        # — callers/dashboards see drops per epoch, not just in the
+        # source's own _batches log
+        q = getattr(self.source, "last_quarantined", None)
+        if q is not None:
+            stats["rows_quarantined"] = q
         if stats.get("applied"):
             self._record("tail", epoch, stats)
             self._epoch += 1

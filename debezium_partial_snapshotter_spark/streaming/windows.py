@@ -51,3 +51,42 @@ def windowed_rollup_stream(
             "sum_value",
         )
     )
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+    agg_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.session_rollup``:
+    watermarked ``session_window`` aggregation for ``writeStream`` in
+    append mode. A session is emitted exactly once, when the watermark
+    passes its end (last event + gap); rows later than the watermark
+    are dropped before the shuffle; a late row within the watermark
+    still extends/merges its open session (session_window state merge).
+
+    State is one (start, end, count, sum) entry per OPEN session per
+    key — bounded by concurrently-active keys, not traffic. Same skew
+    caveat as the batch twin (merge shuffles by key alone); for a
+    hot-key corpus run the batch chunked plan over closed windows
+    instead. Column contract matches the batch twin, so the two paths
+    are interchangeable downstream."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(sw.alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(agg_col).alias("sum_value"),
+        )
+        .select(
+            key,
+            _epoch(F.col("w.start")).alias("session_start"),
+            _epoch(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

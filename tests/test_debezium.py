@@ -416,3 +416,26 @@ def test_last_quarantined_resets_on_empty_poll(spark, tmp_warehouse):
         os.unlink(os.path.join(log_dir, f))
     src.wal_batch()  # empty poll
     assert src.last_quarantined == 0
+
+
+def test_runner_surfaces_quarantine_count(spark, tmp_warehouse):
+    """The engine's tail_batch stats report the batch's dead-letter
+    count when the source has a quarantine sink."""
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    os.makedirs(log_dir)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00001.jsonl"),
+        [_env("u", 10, after=_payload("d1", [1])), "junk line"],
+    )
+    cfg = PipelineConfig(
+        pipeline_id="q", warehouse=os.path.join(tmp_warehouse, "wh"),
+        num_buckets=NB,
+    )
+    src = DebeziumJsonSource(
+        spark, None, log_dir, num_buckets=NB,
+        quarantine_dir=os.path.join(tmp_warehouse, "quar"),
+    )
+    runner = PartialIngestRunner(spark, cfg, src)
+    stats = runner.tail_batch()
+    assert stats["rows_quarantined"] == 1
+    assert stats.get("applied")

@@ -435,3 +435,95 @@ def test_session_rollup_chunked_multiunit_gap_and_fractional_chunk(spark):
     nat2 = session_rollup(df2, gap="1 seconds")
     ch2 = session_rollup(df2, gap="1 seconds", chunk=0.5)
     assert _sess_set(ch2) == _sess_set(nat2)
+
+
+# ----------------------------------------------------------------------
+# streaming session rollup (round 4): append-mode finalization + late data
+# ----------------------------------------------------------------------
+def _run_session_stream(spark, tmp_warehouse, watermark, batches, sink_name):
+    from debezium_partial_snapshotter_spark.streaming.windows import (
+        session_rollup_stream,
+    )
+
+    SESS_SCHEMA = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = os.path.join(tmp_warehouse, f"feed_{sink_name}")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_warehouse, f"ckpt_{sink_name}")
+    stream = spark.readStream.schema(SESS_SCHEMA).parquet(src)
+    rolled = session_rollup_stream(
+        stream, gap="10 minutes", watermark=watermark
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            t = pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            )
+            pq.write_table(t, os.path.join(src, f"b{i:03d}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in spark.sql(f"SELECT * FROM {sink_name}").collect()
+    }
+
+
+def test_session_stream_finalizes_and_merges_late_within_watermark(
+    spark, tmp_warehouse
+):
+    out = _run_session_stream(
+        spark, tmp_warehouse, "5 minutes",
+        [
+            # u1 session forming; u2 single-event session
+            [(T(10, 0), "u1", 1.0), (T(10, 5), "u1", 2.0),
+             (T(10, 2), "u2", 8.0)],
+            # watermark after b1 = 10:00 -> the 10:07 u1 row is late but
+            # WITHIN the watermark: it must extend the open session
+            [(T(10, 7), "u1", 4.0)],
+            # far-future row finalizes everything
+            [(T(12, 0), "u3", 0.5)],
+        ],
+        "sess_merge",
+    )
+    # u1's session ends at last event + gap = 10:17 with ALL 3 events
+    assert out[("u1", epoch(10, 0))] == (epoch(10, 17), 3, 7.0)
+    assert out[("u2", epoch(10, 2))] == (epoch(10, 12), 1, 8.0)
+    # u3's session is still open (nothing advanced the watermark past it)
+    assert ("u3", epoch(12, 0)) not in out
+
+
+def test_session_stream_drops_rows_later_than_watermark(
+    spark, tmp_warehouse
+):
+    out = _run_session_stream(
+        spark, tmp_warehouse, "1 minute",
+        [
+            [(T(10, 0), "u1", 1.0)],
+            [(T(12, 0), "u3", 0.5)],   # watermark -> 11:59; u1 finalized
+            [(T(10, 30), "u1", 9.0)],  # later than watermark: DROPPED
+            [(T(14, 0), "u4", 0.1)],   # would finalize a 10:30 session
+        ],
+        "sess_drop",
+    )
+    assert out[("u1", epoch(10, 0))] == (epoch(10, 10), 1, 1.0)
+    # the dropped row never formed a session
+    assert ("u1", epoch(10, 30)) not in out

@@ -527,6 +527,32 @@ class IcebergTable:
                 "semantics and the WAP protocol cannot run against it."
             )
 
+    def gc_stale_audit_branches(self) -> list[str]:
+        """Drop leftover ``dps_audit_*`` branches from crashed
+        validated writes whose commit keys were never redelivered —
+        each pins its fork-point snapshots against Iceberg snapshot
+        expiration forever (a redelivery resets its own branch via
+        CREATE OR REPLACE, but a key that never comes back leaks one).
+
+        SAFE ONLY WHEN QUIESCED: a live writer's in-flight audit
+        branch would be dropped mid-audit — its publish then fails as
+        a clean CommitConflict and the write retries from scratch
+        (correctness holds; work is wasted). Intended at engine start
+        of a single-engine deployment, before writers launch. Returns
+        the dropped branch names."""
+        rows = self.spark.sql(
+            f"SELECT name FROM {self.identifier}.refs "
+            "WHERE name LIKE 'dps_audit_%'"
+        ).collect()
+        dropped = []
+        for r in rows:
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} "
+                f"DROP BRANCH IF EXISTS {r['name']}"
+            )
+            dropped.append(r["name"])
+        return dropped
+
     def _catalog(self) -> str:
         return self.identifier.split(".", 1)[0]
 

@@ -198,6 +198,11 @@ class FakeSpark:
             return FakeResult(
                 [FakeRow(snapshot_id=s["id"]) for s in self.all_snaps]
             )
+        if ".refs" in q and "LIKE 'dps_audit_%'" in q:
+            return FakeResult(
+                [FakeRow(name=n) for n in self.branches
+                 if n.startswith("dps_audit_")]
+            )
         if ".refs" in q and "name = 'main'" in q:
             if self.refs_broken:
                 return FakeResult([])
@@ -643,3 +648,19 @@ def test_rescale_key_namespaced_against_collisions(fake):
     fake.props["dps.num-buckets"] = "4"
     out2 = t.rescale(fake, 8, commit_key="k1")
     assert out2["applied"] is True and fake.props["dps.num-buckets"] == "8"
+
+
+def test_gc_stale_audit_branches(fake):
+    """A crashed validated write whose key is never redelivered leaks
+    one audit branch pinning its snapshots against GC; the quiesced
+    gc call drops exactly the dps_audit_* branches and nothing else."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": 1, "summary": {}}]
+    stale = ice.IcebergTable._audit_branch_name("never:again")
+    fake.branches[stale] = {"base": 1, "snaps": [{"id": 50, "summary": {}}]}
+    fake.branches["user_branch"] = {"base": 1, "snaps": []}  # foreign
+    dropped = t.gc_stale_audit_branches()
+    assert dropped == [stale]
+    assert stale not in fake.branches
+    assert "user_branch" in fake.branches   # never touched
+    assert [s["id"] for s in fake.main] == [1]  # main untouched

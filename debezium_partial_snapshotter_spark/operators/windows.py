@@ -66,6 +66,10 @@ def tumbling_rollup(
 
 
 _GAP_UNITS = {
+    "microsecond": 1e-6,
+    "microseconds": 1e-6,
+    "millisecond": 1e-3,
+    "milliseconds": 1e-3,
     "second": 1,
     "seconds": 1,
     "minute": 60,
@@ -74,6 +78,8 @@ _GAP_UNITS = {
     "hours": 3600,
     "day": 86400,
     "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
 }
 
 
@@ -88,7 +94,10 @@ def _interval_us(gap: str) -> int:
         raise ValueError(f"cannot parse interval {gap!r}")
     total = 0
     for i in range(0, len(toks), 2):
-        total += int(float(toks[i]) * _GAP_UNITS[toks[i + 1].lower()] * 1_000_000)
+        unit = toks[i + 1].lower()
+        if unit not in _GAP_UNITS:
+            raise ValueError(f"unknown interval unit {unit!r} in {gap!r}")
+        total += int(float(toks[i]) * _GAP_UNITS[unit] * 1_000_000)
     return total
 
 
@@ -117,9 +126,11 @@ def session_rollup(
     sessions (the only ones that can cross a boundary: any interior
     session is already fenced by > gap breaks on both sides inside
     its chunk) go through a per-key merge pass whose input is at most
-    2 rows per (key, chunk), never per-event. Output is identical to
-    the native plan (pinned by tests/test_windows.py equivalence
-    tests). Works for any chunk width, including chunks narrower than
+    2 rows per (key, chunk), never per-event. Output matches the
+    native plan: session bounds and counts exactly; ``sum_value`` up
+    to floating-point summation order (partial sums re-associate —
+    same caveat as any two Spark runs with different partitioning).
+    Pinned by tests/test_windows.py equivalence tests. Works for any chunk width, including chunks narrower than
     the gap — the boundary merge compares real event times, so empty
     intermediate chunks never split a session."""
     if chunk is not None:

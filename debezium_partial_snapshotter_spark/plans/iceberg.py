@@ -210,7 +210,9 @@ class IcebergTable:
         props = self._props()
         tgt = props.get(self.RESCALE_TARGET_PROP)
         nb = props["dps.num-buckets"]
-        return f"{nb}->{tgt}" if tgt is not None else str(nb)
+        if tgt is None:
+            return str(nb)
+        return f"{nb}->{tgt.split('->')[-1]}"
 
     def bucket_expr(self, key):
         from debezium_partial_snapshotter_spark.functions import bucket_id
@@ -540,12 +542,17 @@ class IcebergTable:
         (correctness holds; work is wasted). Intended at engine start
         of a single-engine deployment, before writers launch. Returns
         the dropped branch names."""
+        # filter in PYTHON, not SQL LIKE: unescaped '_' in a LIKE
+        # pattern is a single-char wildcard, so 'dps_audit_%' would
+        # also match (and DROP) foreign branches like 'dpsXauditY-keep'
         rows = self.spark.sql(
             f"SELECT name FROM {self.identifier}.refs "
-            "WHERE name LIKE 'dps_audit_%'"
+            "WHERE type = 'BRANCH'"
         ).collect()
         dropped = []
         for r in rows:
+            if not r["name"].startswith("dps_audit_"):
+                continue
             self.spark.sql(
                 f"ALTER TABLE {self.identifier} "
                 f"DROP BRANCH IF EXISTS {r['name']}"
@@ -618,19 +625,28 @@ class IcebergTable:
         n = int(new_num_buckets)
         props = self._props()
         old_nb = int(props["dps.num-buckets"])
+        # the pending prop records the WHOLE transition ("from->to"),
+        # not just the target: a crash between the two finalize ALTERs
+        # leaves num-buckets already flipped, so deriving the scoped
+        # key from the LIVE property would change it mid-resume and
+        # re-run a full-table rewrite instead of short-circuiting
+        # (round-4 review finding)
         pending = props.get(self.RESCALE_TARGET_PROP)
-        if pending is not None and int(pending) != n:
-            raise CommitConflict(
-                f"a rescale to {pending} buckets is pending on "
-                f"{self.identifier}; re-run with new_num_buckets="
-                f"{pending} to complete it first"
-            )
-        if pending is None:
+        if pending is not None:
+            from_nb, to_nb = (int(x) for x in pending.split("->"))
+            if to_nb != n:
+                raise CommitConflict(
+                    f"a rescale to {to_nb} buckets is pending on "
+                    f"{self.identifier}; re-run with new_num_buckets="
+                    f"{to_nb} to complete it first"
+                )
+        else:
             if n == old_nb:
                 return {"applied": False, "reason": "noop"}
+            from_nb = old_nb
             self.spark.sql(
                 f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-                f"('{self.RESCALE_TARGET_PROP}'='{n}')"
+                f"('{self.RESCALE_TARGET_PROP}'='{from_nb}->{n}')"
             )
         df = self.read(spark)
         staged = df.withColumn(
@@ -643,7 +659,7 @@ class IcebergTable:
         # different count (which would have skipped the rewrite while
         # step 3 still flipped the property — silent misrouting).
         scoped_key = (
-            f"{commit_key}::rescale:{old_nb}->{n}"
+            f"{commit_key}::rescale:{from_nb}->{n}"
             if commit_key is not None
             else None
         )

@@ -250,7 +250,10 @@ class DebeziumJsonSource(ParquetWalSource):
         # <quarantine_dir>/rejects and appends a per-batch count row to
         # <quarantine_dir>/_batches — silent drops become auditable.
         self.quarantine_dir = quarantine_dir
-        self.last_quarantined: int = 0
+        # None (not 0) when no sink is configured: a dashboard reading
+        # rows_quarantined=0 would conclude "drops are audited" while
+        # malformed envelopes are being silently filtered
+        self.last_quarantined: int | None = 0 if quarantine_dir else None
         if quarantine_dir:
             import pyarrow as pa
 
@@ -355,7 +358,8 @@ class DebeziumJsonSource(ParquetWalSource):
         if paths is None:
             paths = self.wal_segment_paths()
         if not paths:
-            self.last_quarantined = 0  # empty poll: nothing rejected
+            if self.quarantine_dir:
+                self.last_quarantined = 0  # empty poll: nothing rejected
             return self.spark.createDataFrame(
                 [], self._decode(self.spark.createDataFrame([("x",)], "value string")).schema
             )

@@ -171,6 +171,10 @@ class MultiTableIngestRunner:
             events = self._route(src.wal_batch(since_lsn=wm), t).where(
                 F.col("lsn") > F.lit(wm)
             )
+            # dead-letter visibility, same contract as the single-table
+            # runner: this phase just polled src, so the count is this
+            # poll's (quarantine-enabled sources only; None otherwise)
+            quarantined = getattr(src, "last_quarantined", None)
             key = self._key(phase, t)
             if key in table.committed_keys():
                 out[t] = {"applied": False, "reason": "duplicate_commit_key"}
@@ -184,6 +188,8 @@ class MultiTableIngestRunner:
                 write_mode=self.cfg.write_mode,
             )
             stats["commit_key"] = key
+            if quarantined is not None:
+                stats["rows_quarantined"] = quarantined
             if stats.get("applied"):
                 any_applied = True
                 self._record(phase, t, stats)

@@ -306,6 +306,7 @@ class PartialIngestRunner:
         key = self._fresh_key("tail")
         epoch = self._epoch
         wm = self.table.watermark_lsn()
+        polled = events is None
         if events is None:
             events = self.source.wal_batch(since_lsn=wm)
         events = events.where(F.col("lsn") > F.lit(wm))
@@ -313,9 +314,11 @@ class PartialIngestRunner:
         # dead-letter visibility (VERDICT r3 next-5): sources with a
         # quarantine sink report how many envelopes this batch rejected
         # — callers/dashboards see drops per epoch, not just in the
-        # source's own _batches log
+        # source's own _batches log. Only when THIS call polled the
+        # source: with caller-supplied events, last_quarantined belongs
+        # to some earlier poll and attributing it here double-counts.
         q = getattr(self.source, "last_quarantined", None)
-        if q is not None:
+        if polled and q is not None:
             stats["rows_quarantined"] = q
         if stats.get("applied"):
             self._record("tail", epoch, stats)

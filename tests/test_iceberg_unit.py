@@ -198,11 +198,8 @@ class FakeSpark:
             return FakeResult(
                 [FakeRow(snapshot_id=s["id"]) for s in self.all_snaps]
             )
-        if ".refs" in q and "LIKE 'dps_audit_%'" in q:
-            return FakeResult(
-                [FakeRow(name=n) for n in self.branches
-                 if n.startswith("dps_audit_")]
-            )
+        if ".refs" in q and "type = 'BRANCH'" in q:
+            return FakeResult([FakeRow(name=n) for n in self.branches])
         if ".refs" in q and "name = 'main'" in q:
             if self.refs_broken:
                 return FakeResult([])
@@ -607,7 +604,7 @@ def test_offline_rescale_fences_writers_and_resumes(fake):
     ]
     # simulate a crash AFTER the data rewrite landed (key on main)
     # but BEFORE finalize: target pending, num-buckets still old
-    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "8"
+    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "4->8"
 
     # fence: planning a write raises CommitConflict, token carries it
     with pytest.raises(CommitConflict, match="rescale"):
@@ -644,7 +641,7 @@ def test_rescale_key_namespaced_against_collisions(fake):
     assert fake.props["dps.num-buckets"] == "8"
     # resume semantics still work: same args short-circuit on the
     # scoped key but still finalize
-    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "8"
+    fake.props[ice.IcebergTable.RESCALE_TARGET_PROP] = "4->8"
     fake.props["dps.num-buckets"] = "4"
     out2 = t.rescale(fake, 8, commit_key="k1")
     assert out2["applied"] is True and fake.props["dps.num-buckets"] == "8"
@@ -659,8 +656,12 @@ def test_gc_stale_audit_branches(fake):
     stale = ice.IcebergTable._audit_branch_name("never:again")
     fake.branches[stale] = {"base": 1, "snaps": [{"id": 50, "summary": {}}]}
     fake.branches["user_branch"] = {"base": 1, "snaps": []}  # foreign
+    # SQL LIKE 'dps_audit_%' would match this via the '_' wildcard —
+    # the python startswith filter must not (round-4 review finding)
+    fake.branches["dpsXauditY_keep"] = {"base": 1, "snaps": []}
     dropped = t.gc_stale_audit_branches()
     assert dropped == [stale]
     assert stale not in fake.branches
     assert "user_branch" in fake.branches   # never touched
+    assert "dpsXauditY_keep" in fake.branches
     assert [s["id"] for s in fake.main] == [1]  # main untouched

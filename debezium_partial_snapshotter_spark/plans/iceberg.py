@@ -665,7 +665,10 @@ class IcebergTable:
         )
         self.replace_buckets(
             staged,
-            affected_buckets=list(range(max(old_nb, n))),
+            # cover the union of every numbering the transition can
+            # have touched (from_nb may exceed the LIVE old_nb when
+            # resuming after the num-buckets flip already landed)
+            affected_buckets=list(range(max(from_nb, old_nb, n))),
             commit_key=scoped_key,
         )
         self.spark.sql(

@@ -262,3 +262,19 @@ def test_multi_table_stream_per_table_separate_feeds(spark, tmp_warehouse):
     versions = {t: runner.tables[t].current_version() for t in TABLES}
     runner.stream_per_table(timeout_sec=180)
     assert {t: runner.tables[t].current_version() for t in TABLES} == versions
+
+
+def test_multi_table_surfaces_quarantine_counts(spark, tmp_warehouse):
+    """The wal phases report per-table rows_quarantined for sources
+    that carry a dead-letter sink (attribute present), and omit the
+    key entirely for sources without one (None)."""
+    specs, states, sources, write_shared_wal = _env(spark, tmp_warehouse)
+    runner, cfg = _runner(spark, tmp_warehouse, sources)
+    runner.start()
+    write_shared_wal()
+    # alpha's source pretends to be quarantine-enabled; beta is a
+    # plain source (last_quarantined is absent -> no key in stats)
+    sources["alpha"].last_quarantined = 3
+    out = runner.tail_batch()
+    assert out["alpha"]["rows_quarantined"] == 3
+    assert "rows_quarantined" not in out["beta"]

@@ -97,7 +97,11 @@ def _interval_us(gap: str) -> int:
         unit = toks[i + 1].lower()
         if unit not in _GAP_UNITS:
             raise ValueError(f"unknown interval unit {unit!r} in {gap!r}")
-        total += int(float(toks[i]) * _GAP_UNITS[unit] * 1_000_000)
+        # round, don't truncate: float unit multipliers (1e-6, 1e-3)
+        # make e.g. 33 microseconds compute as 32.999... — int() would
+        # shave 1 us and diverge from the native plan at exact-gap
+        # boundaries (round-4 review, reproduced numerically)
+        total += round(float(toks[i]) * _GAP_UNITS[unit] * 1_000_000)
     return total
 
 

@@ -177,7 +177,15 @@ class MultiTableIngestRunner:
             quarantined = getattr(src, "last_quarantined", None)
             key = self._key(phase, t)
             if key in table.committed_keys():
-                out[t] = {"applied": False, "reason": "duplicate_commit_key"}
+                # a replayed epoch can still have quarantined NEW
+                # malformed lines this poll — and the file-path dedup
+                # means they will never be counted again; dropping the
+                # count here would be the silent-drop blindness this
+                # feature exists to prevent
+                dup = {"applied": False, "reason": "duplicate_commit_key"}
+                if quarantined is not None:
+                    dup["rows_quarantined"] = quarantined
+                out[t] = dup
                 continue
             stats = apply_batch(
                 table,

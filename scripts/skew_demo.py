@@ -68,12 +68,42 @@ def main():
     builds = df.where("event_id % 2 = 0")
     probes = df.where("event_id % 2 = 1").select("event_id", "user_id", "ts")
 
-    def t(run):
-        t0 = time.time()
-        run().write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 2)
+    import gc
+
+    def t(run, repeats=2):
+        """Best-of-N with a JVM GC between runs: localCheckpoint blocks
+        from a previous measurement otherwise squat in the block
+        manager and tax the next one (same hygiene as bench.py), and
+        best-of absorbs shared-host noise (25-50% run-to-run,
+        BENCH ledger item 3)."""
+        best = None
+        for _ in range(repeats):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            run().write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 2)
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # discarded warmup job: the first Spark job of a session pays JIT/
+    # codegen/first-touch costs (~3x, BENCH ledger item 13) — timing
+    # the native plan first on a cold JVM would charge all of that to
+    # the native side and overstate the rewrite's win
+    df.groupBy("user_id").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     out = {"hot_events": hot_n, "chunks": n_chunks, "parallelism": cpus, "gap": gap}
+    try:
+        _measure(out, t, asof_join, session_rollup, probes, builds, df, gap, chunk)
+    finally:
+        os.unlink(src)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _measure(out, t, asof_join, session_rollup, probes, builds, df, gap, chunk):
     out["asof_native_sec"] = t(
         lambda: asof_join(
             probes, builds, key="user_id", ts="ts", value_col="value",
@@ -108,9 +138,6 @@ def main():
     out["session_speedup"] = round(
         out["session_native_sec"] / out["session_chunked_sec"], 2
     )
-    os.unlink(src)
-    spark.stop()
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -212,7 +212,7 @@ class FakeSpark:
             self.branches[name] = {"base": self._head(), "snaps": []}
             return FakeResult([])
         if "DROP BRANCH IF EXISTS" in q:
-            name = q.rsplit("IF EXISTS ", 1)[1].strip()
+            name = q.rsplit("IF EXISTS ", 1)[1].strip().strip("`")
             self.branches.pop(name, None)
             return FakeResult([])
         if "system.fast_forward" in q:

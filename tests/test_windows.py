@@ -527,3 +527,61 @@ def test_session_stream_drops_rows_later_than_watermark(
     assert out[("u1", epoch(10, 0))] == (epoch(10, 10), 1, 1.0)
     # the dropped row never formed a session
     assert ("u1", epoch(10, 30)) not in out
+
+
+# ----------------------------------------------------------------------
+# hypothesis property: chunked == native for ADVERSARIAL event layouts
+# ----------------------------------------------------------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # per-key gap sequences drawn to cluster AROUND the session gap
+    # (60s) and the chunk width (100s): exact-boundary ties, empty
+    # chunks, single-event sessions, runs crossing many chunks
+    _gaps = st.lists(
+        st.one_of(
+            st.integers(1, 30),        # intra-session bursts
+            st.just(60),               # EXACTLY the gap (must merge)
+            st.integers(61, 400),      # session breaks / empty chunks
+            st.just(100),              # exactly the chunk width
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(_gaps, min_size=1, max_size=3), st.integers(0, 3))
+    def test_session_chunked_equivalence_property(spark, key_gaps, shift):
+        """For arbitrary per-key gap sequences (incl. exact-gap and
+        exact-chunk-boundary layouts shifted against the chunk grid),
+        the chunked plan's sessions equal the native plan's."""
+        from datetime import datetime, timedelta
+
+        from debezium_partial_snapshotter_spark.operators.windows import (
+            session_rollup,
+        )
+
+        base = datetime(2024, 6, 1)
+        rows = []
+        for k, gaps in enumerate(key_gaps):
+            t = float(shift * 25)  # shift layouts against the grid
+            for i, g in enumerate(gaps):
+                t += g
+                rows.append((f"k{k}", base + timedelta(seconds=t),
+                             float(i)))
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        native = _sess_set(session_rollup(df, gap="1 minutes"))
+        chunked = _sess_set(
+            session_rollup(df, gap="1 minutes", chunk=100)
+        )
+        assert chunked == native

@@ -1657,9 +1657,12 @@ def q_session_rollup(spark, sf_dir):
     windows TOUCH, so two events exactly gap apart stay in one session
     — the break is strictly > 30 min (verified against
     F.session_window directly; the old >= was latently wrong but never
-    fired on this continuous-timestamp data)."""
+    fired on this continuous-timestamp data). ``exact_sum=True``
+    (decimal-sum, ADVICE r4): sum_value is order-independent, so this
+    row and the chunked twin hash identically under ANY partitioning —
+    the %.6g normalization never sits on a rounding boundary."""
     return win.session_rollup(
-        _t(spark, sf_dir, "events"), gap="30 minutes"
+        _t(spark, sf_dir, "events"), gap="30 minutes", exact_sum=True
     )
 
 
@@ -1669,9 +1672,15 @@ def q_session_rollup_chunked(spark, sf_dir):
     chunk's first/last partial sessions (<= 2 rows per (key, chunk) —
     never per-event). Defined to be identical to the native plan, so
     the oracle is the very same SQL as `session_rollup`: the driver
-    verifies the rewrite itself."""
+    verifies the rewrite itself. ``exact_sum=True`` makes that identity
+    BIT-EXACT on sum_value too (decimal addition is order-independent;
+    the former double sum was identical only up to summation order —
+    ADVICE r4 flagged the residual hash-flake risk)."""
     return win.session_rollup(
-        _t(spark, sf_dir, "events"), gap="30 minutes", chunk=7200
+        _t(spark, sf_dir, "events"),
+        gap="30 minutes",
+        chunk=7200,
+        exact_sum=True,
     )
 
 
@@ -1692,7 +1701,7 @@ SELECT user_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
        count(*) AS n_events,
-       sum(value) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
 FROM g
 GROUP BY user_id, sess
 """

@@ -88,8 +88,21 @@ def _interval_us(gap: str) -> int:
     Multi-unit strings are valid Spark interval syntax accepted by the
     native session_window path, so the chunked path must parse them
     too (mode-dependent crashes would break the identical-output
-    contract)."""
-    toks = gap.split()
+    contract). Accepts the optional leading ``interval`` keyword and
+    surrounding single quotes (``interval '30 minutes'``) — both valid
+    Spark CalendarInterval spellings the native path takes (ADVICE r4:
+    rejecting them here reintroduced the mode-dependent crash this
+    helper exists to prevent)."""
+    body = gap.strip()
+    if body.lower().startswith("interval"):
+        rest = body[len("interval"):]
+        # only a KEYWORD use of 'interval' (followed by whitespace or a
+        # quote) is stripped — a unit typo like 'intervals' still errors
+        if rest[:1] in ("", " ", "\t", "'"):
+            body = rest.strip()
+    if len(body) >= 2 and body[0] == "'" and body[-1] == "'":
+        body = body[1:-1]
+    toks = body.split()
     if not toks or len(toks) % 2:
         raise ValueError(f"cannot parse interval {gap!r}")
     total = 0
@@ -112,6 +125,7 @@ def session_rollup(
     gap: str = "30 minutes",
     agg_col: str = "value",
     chunk: int | float | None = None,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when the key is
     silent for STRICTLY LONGER than ``gap`` (two events exactly
@@ -133,18 +147,32 @@ def session_rollup(
     2 rows per (key, chunk), never per-event. Output matches the
     native plan: session bounds and counts exactly; ``sum_value`` up
     to floating-point summation order (partial sums re-associate —
-    same caveat as any two Spark runs with different partitioning).
+    same caveat as any two Spark runs with different partitioning),
+    or bit-identically when ``exact_sum=True``.
     Pinned by tests/test_windows.py equivalence tests. Works for any chunk width, including chunks narrower than
     the gap — the boundary merge compares real event times, so empty
-    intermediate chunks never split a session."""
+    intermediate chunks never split a session.
+
+    ``exact_sum``: aggregate ``agg_col`` as DECIMAL(38,9), cast back to
+    double on output. Decimal addition is exact and therefore
+    ORDER-INDEPENDENT, so chunked and native plans become bit-identical
+    on ``sum_value`` too — plain double summation re-associates under
+    different partitionings and can differ in the last ulps (ADVICE r4:
+    a sum landing near a rounding boundary can flip a normalized
+    comparison). Off by default: the double sum is cheaper and is what
+    every other aggregation here reports."""
     if chunk is not None:
-        return _session_rollup_chunked(df, ts_col, key, gap, agg_col, chunk)
+        return _session_rollup_chunked(
+            df, ts_col, key, gap, agg_col, chunk, exact_sum
+        )
     sw = F.session_window(F.col(ts_col), gap)
+    sum_in = F.col(agg_col).cast("decimal(38,9)") if exact_sum else F.col(agg_col)
+    sum_expr = F.sum(sum_in).cast("double") if exact_sum else F.sum(sum_in)
     return (
         df.groupBy(sw.alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(agg_col).alias("sum_value"),
+            sum_expr.alias("sum_value"),
         )
         .select(
             key,
@@ -163,6 +191,7 @@ def _session_rollup_chunked(
     gap: str,
     agg_col: str,
     chunk: int | float,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """See session_rollup(chunk=...). All event-time arithmetic is in
     exact integer MICROSECONDS (unix_micros) — double epoch seconds
@@ -183,10 +212,11 @@ def _session_rollup_chunked(
     chunk_us = int(float(chunk) * 1_000_000)
     if chunk_us <= 0:
         raise ValueError(f"chunk must be positive (>= 1 microsecond), got {chunk}")
+    vcol = F.col(agg_col).cast("decimal(38,9)") if exact_sum else F.col(agg_col)
     ev = df.select(
         F.col(key).alias("_k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
-        F.col(agg_col).alias("_v"),
+        vcol.alias("_v"),
     ).where(F.col("_us").isNotNull())
     ev = ev.withColumn("_chunk", F.floor(F.col("_us") / F.lit(chunk_us)))
 
@@ -266,7 +296,9 @@ def _session_rollup_chunked(
             "long"
         ).alias("session_end"),
         F.col("_n").alias("n_events"),
-        F.col("_sum").alias("sum_value"),
+        (F.col("_sum").cast("double") if exact_sum else F.col("_sum")).alias(
+            "sum_value"
+        ),
     )
 
 

@@ -585,3 +585,79 @@ if _HAS_HYPOTHESIS:
             session_rollup(df, gap="1 minutes", chunk=100)
         )
         assert chunked == native
+
+
+# ----------------------------------------------------------------------
+# round-5 ADVICE fixes: interval-keyword gap strings; exact_sum mode
+# ----------------------------------------------------------------------
+def test_interval_us_accepts_interval_keyword_and_quotes():
+    import pytest
+
+    from debezium_partial_snapshotter_spark.operators.windows import (
+        _interval_us,
+    )
+
+    base = _interval_us("30 minutes")
+    assert _interval_us("interval 30 minutes") == base
+    assert _interval_us("INTERVAL 30 minutes") == base
+    assert _interval_us("Interval '30 minutes'") == base
+    assert _interval_us("'30 minutes'") == base
+    assert _interval_us("interval 1 hour 30 minutes") == base + 3_600_000_000
+    # a unit TYPO starting with 'interval' must still error, as must
+    # the bare keyword
+    with pytest.raises(ValueError):
+        _interval_us("intervals")
+    with pytest.raises(ValueError):
+        _interval_us("interval")
+
+
+def test_session_rollup_interval_keyword_gap_both_modes(spark):
+    """The native path accepts Spark CalendarInterval spellings with
+    the leading keyword; the chunked path must accept the same string
+    (ADVICE r4: a mode-dependent crash breaks the identical-output
+    contract)."""
+    rows = [
+        ("u", T(10, 0), 1.0),
+        ("u", T(10, 10), 2.0),
+        ("u", T(12, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = session_rollup(df, gap="interval 30 minutes")
+    chunked = session_rollup(df, gap="interval 30 minutes", chunk=600)
+    assert _sess_set(native) == _sess_set(chunked)
+    assert native.count() == 2
+
+
+def test_session_rollup_exact_sum_bit_identical(spark):
+    """exact_sum=True: decimal addition is order-independent, so the
+    chunked and native sums are EXACTLY equal (==, no rounding) even
+    on adversarial float values whose double-sum depends on order."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(17)
+    base = datetime(2024, 3, 1)
+    rows = []
+    t = 0.0
+    for i in range(5_000):
+        t += float(rng.integers(1, 300)) if rng.random() < 0.95 else 7200.0
+        # wide magnitude spread maximizes order-dependence of float sums
+        rows.append(("hot", base + timedelta(seconds=t),
+                     float(rng.random()) * (10.0 ** float(rng.integers(-6, 7)))))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"])
+        for r in session_rollup(df, gap="30 minutes", exact_sum=True).collect()
+    }
+    chunked = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"])
+        for r in session_rollup(
+            df, gap="30 minutes", chunk=3600, exact_sum=True
+        ).collect()
+    }
+    assert native == chunked  # bit-exact, including sum_value
+    # and the schema still reports sum_value as double
+    sdf = session_rollup(df, gap="30 minutes", exact_sum=True)
+    assert dict(sdf.dtypes)["sum_value"] == "double"

@@ -225,6 +225,27 @@ class FakeSpark:
                 )
             self.main.extend(br["snaps"])
             return FakeResult([])
+        if "system.expire_snapshots" in q:
+            # Iceberg semantics (spec + expire_snapshots docs): keep
+            # the newest `retain_last` ancestors of every ref head AND
+            # every snapshot reachable from ANY ref — branches (incl.
+            # in-flight dps_audit_* WAP branches) pin their fork point
+            # and their own commits against expiration.
+            retain = int(q.split("retain_last =>", 1)[1].split(",")[0].strip(" )"))
+            protected = {s["id"] for s in self.main[-retain:]}
+            for br in self.branches.values():
+                protected.add(br["base"])
+                protected.update(s["id"] for s in br["snaps"])
+            before = {s["id"] for s in self.all_snaps}
+            self.main = [s for s in self.main if s["id"] in protected]
+            self.all_snaps = [
+                s for s in self.all_snaps if s["id"] in protected
+            ]
+            self.expired = sorted(before - {s["id"] for s in self.all_snaps})
+            return FakeResult([])
+        if "system.remove_orphan_files" in q:
+            self.orphans_removed = True
+            return FakeResult([])
         if q.startswith("INSERT INTO") and "WHERE false" in q:
             # zero-record append: some runtimes skip the commit entirely
             if self.empty_insert_creates_snapshot:
@@ -665,3 +686,78 @@ def test_gc_stale_audit_branches(fake):
     assert "user_branch" in fake.branches   # never touched
     assert "dpsXauditY_keep" in fake.branches
     assert [s["id"] for s in fake.main] == [1]  # main untouched
+
+
+# ----------------------------------------------------------------------
+# round 5: storage reclamation (expire_snapshots / remove_orphan_files)
+# ----------------------------------------------------------------------
+def test_expire_versions_emits_both_procedures(fake):
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": i, "summary": {}} for i in (1, 2, 3, 4)]
+    out = t.expire_versions(keep_last=3, min_age_sec=60,
+                            orphan_grace_sec=1800)
+    assert out["applied"] and out["retain_last"] == 3
+    exp = [q for q in fake.sqls if "system.expire_snapshots" in q]
+    orph = [q for q in fake.sqls if "system.remove_orphan_files" in q]
+    assert len(exp) == 1 and "retain_last => 3" in exp[0]
+    assert "table => 'db.t'" in exp[0] and "older_than => TIMESTAMP" in exp[0]
+    assert len(orph) == 1 and "older_than => TIMESTAMP" in orph[0]
+    assert getattr(fake, "orphans_removed", False)
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_versions(keep_last=0)
+
+
+def test_expire_snapshots_never_touches_branch_pinned_snapshots(fake):
+    """Iceberg semantics the fake encodes: snapshots reachable from ANY
+    ref survive expiration — an in-flight (or leaked) dps_audit_*
+    branch pins its fork point and its own commits."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": i, "summary": {}} for i in (1, 2, 3, 4)]
+    # a leaked audit branch forked when snap 2 was head
+    fake.branches["dps_audit_x"] = {
+        "base": 2,
+        "snaps": [{"id": 50, "summary": {}}],
+    }
+    fake.all_snaps = list(fake.main) + [{"id": 50, "summary": {}}]
+    t.expire_versions(keep_last=1, min_age_sec=0)
+    ids = {s["id"] for s in fake.all_snaps}
+    assert 2 in ids and 50 in ids  # branch base + branch commit pinned
+    assert 4 in ids  # retain_last head
+    assert 1 not in ids and 3 not in ids  # history reclaimed
+    # gc the stale branch, then expiration can finally reclaim its pins
+    dropped = t.gc_stale_audit_branches()
+    assert dropped == ["dps_audit_x"]
+    t.expire_versions(keep_last=1, min_age_sec=0)
+    ids = {s["id"] for s in fake.all_snaps}
+    assert ids == {4}
+
+
+def test_expire_bounds_committed_keys_visibility(fake):
+    """The documented retention caveat: Iceberg commit keys ride
+    snapshot SUMMARIES, so keys below the horizon stop being visible —
+    min_age must exceed the redelivery window (unlike LakeTable, whose
+    key history rides the current manifest and survives)."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [
+        {"id": 1, "summary": {ice.COMMIT_KEY_PROP: "p:tail:0"}},
+        {"id": 2, "summary": {ice.COMMIT_KEY_PROP: "p:tail:1"}},
+        {"id": 3, "summary": {ice.COMMIT_KEY_PROP: "p:tail:2"}},
+    ]
+    assert t.committed_keys() == {"p:tail:0", "p:tail:1", "p:tail:2"}
+    t.expire_versions(keep_last=2, min_age_sec=0)
+    assert t.committed_keys() == {"p:tail:1", "p:tail:2"}
+
+
+def test_wap_publish_still_works_after_expiration(fake):
+    """Expiration between fork and publish must not break fast_forward:
+    the branch pins its fork point (= head), so main cannot lose it."""
+    t = ice.IcebergTable(fake, "cat.db.t")
+    fake.main = [{"id": i, "summary": {}} for i in (1, 2, 3)]
+    fake.all_snaps = list(fake.main)
+    fake.sql("CREATE OR REPLACE BRANCH dps_audit_y")
+    fake.commit("cat.db.t.branch_dps_audit_y", {"k": "v"})
+    t.expire_versions(keep_last=1, min_age_sec=0)
+    assert {s["id"] for s in fake.main} == {3}
+    # publish: main head unchanged since fork -> fast-forward succeeds
+    fake.sql("CALL cat.system.fast_forward('main', 'dps_audit_y')")
+    assert fake.main[-1]["summary"] == {"k": "v"}

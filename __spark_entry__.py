@@ -569,6 +569,536 @@ FROM merged WHERE op <> 'd'
 """
 
 
+def q_engine_replay_multi(spark, sf_dir):
+    """Two source tables, ONE pipeline, driver-oracled (VERDICT r4
+    next-2; reference: every connector coordinates several tables —
+    PartialSnapshotterTest.java:44-46 test_data + another_test_data,
+    :302-342 two pipelines sharing one tracker). The driver's events
+    table splits by event_id parity into source tables 'ta' (even) and
+    'tb' (odd); both replay through MultiTableIngestRunner: one
+    tracker, ONE atomic claim over both tables' partitions, one shared
+    snapshot consistency point, per-table commit keys, and a SHARED
+    WAL feed (each segment interleaves both tables' envelopes, routed
+    per table by the table_partition prefix). A redelivered tail must
+    be a per-table idempotent no-op. Output: both final tables, tagged
+    by ``tbl``."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.functions import table_partition
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.multi import (
+        MultiTableIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    event_schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("snapshot", StringType(), True),
+            StructField("table_partition", StringType(), False),
+            StructField("after", payload, True),
+        ]
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    bounds = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("w"),
+        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m"),
+    ).collect()[0]
+    w, mid = bounds["w"], bounds["m"]
+    parity = {"ta": 0, "tb": 1}
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_replaym_")
+    try:
+        log_dir = os.path.join(wh, "wal")
+        os.makedirs(log_dir)
+        sources = {}
+        for t, par in parity.items():
+            # source-table state at the shared snapshot point
+            state = (
+                ev.where(
+                    (F.col("event_id") % 2 == par) & (F.col("event_id") <= w)
+                )
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(F.struct("op", "value"), F.col("event_id")).alias(
+                        "s"
+                    )
+                )
+                .where(F.col("s.op") != "d")
+                .select(
+                    F.col("user_id").cast("string").alias("doc_id"),
+                    F.col("s.value").alias("value"),
+                )
+            )
+            state_path = os.path.join(wh, f"state_{t}.parquet")
+            state.coalesce(1).write.mode("overwrite").parquet(state_path)
+            sources[t] = ParquetWalSource(
+                spark, state_path, log_dir, table=t, num_buckets=nb,
+                event_schema=event_schema,
+            )
+
+        def write_wal(lo: int, hi: int, name: str) -> None:
+            # ONE shared segment carrying BOTH tables' events
+            parts = []
+            for t, par in parity.items():
+                parts.append(
+                    ev.where(
+                        (F.col("event_id") > lo)
+                        & (F.col("event_id") <= hi)
+                        & (F.col("event_id") % 2 == par)
+                    ).select(
+                        "op",
+                        F.col("user_id").cast("string").alias("doc_id"),
+                        F.col("event_id").cast("long").alias("lsn"),
+                        F.lit("false").alias("snapshot"),
+                        table_partition(
+                            t, bucket_id(F.col("user_id").cast("string"), nb)
+                        ).alias("table_partition"),
+                        F.when(F.col("op") == "d", F.lit(None).cast(payload))
+                        .otherwise(
+                            F.struct(
+                                F.col("user_id").cast("string").alias("doc_id"),
+                                F.col("value"),
+                            )
+                        )
+                        .alias("after"),
+                    )
+                )
+            parts[0].unionByName(parts[1]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(log_dir, name))
+
+        cfg = PipelineConfig(
+            pipeline_id="replaym",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        runner = MultiTableIngestRunner(
+            spark, cfg, sources, payload_schemas=payload
+        )
+        out0 = runner.start()  # catchup (empty WAL) + shared snapshot
+        claimed_tables = {
+            p.rsplit("/", 1)[0] for p in out0["snapshot"]["claimed"]
+        }
+        assert claimed_tables == set(parity), out0["snapshot"]
+        write_wal(w, mid, "seg-00001.parquet")
+        runner.tail_batch()
+        write_wal(mid, 1 << 60, "seg-00002.parquet")
+        runner.tail_batch()
+        dup = runner.tail_batch()  # redelivery: per-table no-op
+        assert not any(
+            dup[t].get("applied") for t in parity
+        ), "redelivered multi-table tail was re-applied"
+        outs = [
+            runner.tables[t]
+            .read(spark)
+            .select(
+                F.lit(t).alias("tbl"),
+                F.col("doc_id").cast("long").alias("user_id"),
+                F.round(F.col("value"), 4).alias("final_value"),
+                F.col("_lsn").alias("final_lsn"),
+            )
+            for t in sorted(parity)
+        ]
+        out = outs[0].unionByName(outs[1])
+        out_dir = _result_out_dir("dps_replaym_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_ENGINE_REPLAY_MULTI = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w FROM events),
+tagged AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'ta' ELSE 'tb' END AS tbl,
+         user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+state AS (
+  SELECT tbl, user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY tbl, user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post AS (
+  SELECT tbl, user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged WHERE event_id > (SELECT w FROM wm)
+  GROUP BY tbl, user_id
+),
+merged AS (
+  SELECT coalesce(p.tbl, s.tbl) AS tbl,
+         coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.op ELSE 'r' END AS op,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post p FULL OUTER JOIN state s
+       ON p.user_id = s.user_id AND p.tbl = s.tbl
+)
+SELECT tbl, user_id, round(value, 4) AS final_value, lsn AS final_lsn
+FROM merged WHERE op <> 'd'
+"""
+
+
+def q_engine_replay_rescale(spark, sf_dir):
+    """engine_replay with an ONLINE incremental rescale (8 -> 16
+    buckets) interleaved mid-replay (VERDICT r4 next-3a): snapshot,
+    tail, ``begin_rescale(16)`` + half the ``split_bucket`` migrations,
+    tail UNDER the transitional layout (keys in split buckets route to
+    their new child entries; unsplit keys stay put), the remaining
+    splits (auto-finalize), and a final tail under the new layout. The
+    oracle is the SAME SQL as engine_replay — the final state is
+    layout-independent, so the driver verifies the whole online-rescale
+    machinery (transitional routing, layout-token commit guards,
+    finalize) end-to-end against DuckDB."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.functions import table_partition
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    event_schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("snapshot", StringType(), True),
+            StructField("table_partition", StringType(), False),
+            StructField("after", payload, True),
+        ]
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    bounds = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("w"),
+        F.floor(F.max("event_id") * 2 / 3).cast("long").alias("m1"),
+        F.floor(F.max("event_id") * 5 / 6).cast("long").alias("m2"),
+    ).collect()[0]
+    w, m1, m2 = bounds["w"], bounds["m1"], bounds["m2"]
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_replayr_")
+    try:
+        state = (
+            ev.where(F.col("event_id") <= w)
+            .groupBy("user_id")
+            .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
+            .where(F.col("s.op") != "d")
+            .select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        state_path = os.path.join(wh, "state.parquet")
+        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        log_dir = os.path.join(wh, "wal")
+        os.makedirs(log_dir)
+
+        def write_wal(lo: int, hi: int, name: str) -> None:
+            seg = ev.where(
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+            ).select(
+                "op",
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("event_id").cast("long").alias("lsn"),
+                F.lit("false").alias("snapshot"),
+                table_partition(
+                    "tokens", bucket_id(F.col("user_id").cast("string"), nb)
+                ).alias("table_partition"),
+                F.when(F.col("op") == "d", F.lit(None).cast(payload))
+                .otherwise(
+                    F.struct(
+                        F.col("user_id").cast("string").alias("doc_id"),
+                        F.col("value"),
+                    )
+                )
+                .alias("after"),
+            )
+            seg.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(log_dir, name)
+            )
+
+        cfg = PipelineConfig(
+            pipeline_id="replayr",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        src = ParquetWalSource(
+            spark, state_path, log_dir, num_buckets=nb,
+            event_schema=event_schema,
+        )
+        runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
+        runner.start()
+        write_wal(w, m1, "seg-00001.parquet")
+        runner.tail_batch()
+
+        table = runner.table
+        rs = table.begin_rescale(16)
+        assert rs["applied"], rs
+        for b in range(4):  # half the migrations, then keep ingesting
+            table.split_bucket(spark, b)
+        write_wal(m1, m2, "seg-00002.parquet")
+        runner.tail_batch()  # applied UNDER the transitional layout
+        for b in range(4, 8):  # remaining splits; the last finalizes
+            out_split = table.split_bucket(spark, b)
+        assert out_split["finalized"], out_split
+        assert table.num_buckets == 16
+        write_wal(m2, 1 << 60, "seg-00003.parquet")
+        runner.tail_batch()  # applied under the NEW layout
+
+        out = table.read(spark).select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        out_dir = _result_out_dir("dps_replayr_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def q_dead_letter(spark, sf_dir):
+    """Dead-letter quarantine under the correctness gate (VERDICT r4
+    next-3b; reference "nothing extra / nothing lost" delivery checks,
+    ChangeConsumer.java:78-91). The WAL is Debezium-JSON text where a
+    deterministic subset of envelopes is broken: event_id % 23 == 0
+    lines are truncated JSON (reason unparseable_json); among the
+    rest, event_id % 29 == 0 envelopes lack source.lsn (reason
+    missing_lsn). The engine replays through DebeziumJsonSource with a
+    quarantine sink; the row asserts BOTH sides of the audit at once —
+    final-table rows (kind='row': only intact envelopes applied;
+    nothing extra) and per-reason quarantine counts (kind='q:<reason>',
+    count in ``user_id``: nothing lost silently). The DuckDB twin
+    recomputes both from the same parity rules."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.sources.debezium import (
+        DebeziumJsonSource,
+    )
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    w = ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("w")).collect()[
+        0
+    ]["w"]
+    mid = ev.agg(
+        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m")
+    ).collect()[0]["m"]
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_deadletter_")
+    try:
+        # the source DB applied EVERYTHING <= w (corruption happens to
+        # the WAL envelope in flight, not to the source table)
+        state = (
+            ev.where(F.col("event_id") <= w)
+            .groupBy("user_id")
+            .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
+            .where(F.col("s.op") != "d")
+            .select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        state_path = os.path.join(wh, "state.parquet")
+        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        log_dir = os.path.join(wh, "wal")
+        os.makedirs(log_dir)
+
+        def write_wal(lo: int, hi: int, name: str) -> None:
+            """Debezium-JSON lines; the corrupt/missing-lsn subsets are
+            derived from event_id so the oracle can recount them."""
+            seg = ev.where(
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+            )
+            image = F.struct(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("value"),
+            )
+            # Debezium shape: deletes carry only `before` (the decoder
+            # keys deletes off it); creates/updates carry `after`
+            after = F.when(
+                F.col("op") == "d", F.lit(None).cast(payload)
+            ).otherwise(image)
+            before = F.when(F.col("op") == "d", image).otherwise(
+                F.lit(None).cast(payload)
+            )
+            src_ok = F.struct(
+                F.col("event_id").cast("long").alias("lsn"),
+                F.lit("false").alias("snapshot"),
+            )
+            src_nolsn = F.struct(F.lit("false").alias("snapshot"))
+            good = F.to_json(
+                F.struct(
+                    F.col("op").alias("op"), before.alias("before"),
+                    after.alias("after"), src_ok.alias("source"),
+                )
+            )
+            nolsn = F.to_json(
+                F.struct(
+                    F.col("op").alias("op"), before.alias("before"),
+                    after.alias("after"), src_nolsn.alias("source"),
+                )
+            )
+            line = (
+                F.when(F.col("event_id") % 23 == 0, F.lit('{"op": "u", "trunc'))
+                .when(F.col("event_id") % 29 == 0, nolsn)
+                .otherwise(good)
+            )
+            seg.select(line.alias("value")).coalesce(1).write.mode(
+                "overwrite"
+            ).text(os.path.join(log_dir, "tmp_" + name))
+            # the source lists *.jsonl/*.json; rename Spark's part file
+            tmp = os.path.join(log_dir, "tmp_" + name)
+            part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+            os.rename(os.path.join(tmp, part), os.path.join(log_dir, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        cfg = PipelineConfig(
+            pipeline_id="deadletter",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        qdir = os.path.join(wh, "quarantine")
+        src = DebeziumJsonSource(
+            spark, state_path, log_dir, num_buckets=nb,
+            payload_schema=payload, quarantine_dir=qdir,
+        )
+        runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
+        runner.start()
+        write_wal(w, mid, "seg-00001.jsonl")
+        runner.tail_batch()
+        write_wal(mid, 1 << 60, "seg-00002.jsonl")
+        runner.tail_batch()
+
+        rows = runner.table.read(spark).select(
+            F.lit("row").alias("kind"),
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        rejects = spark.read.parquet(os.path.join(qdir, "rejects"))
+        qcounts = (
+            rejects.groupBy("reason")
+            .count()
+            .select(
+                F.concat(F.lit("q:"), F.col("reason")).alias("kind"),
+                F.col("count").cast("long").alias("user_id"),
+                F.lit(None).cast("double").alias("final_value"),
+                F.lit(None).cast("long").alias("final_lsn"),
+            )
+        )
+        # audit cross-check: the metrics counter totals the same rows
+        stats = src.quarantine_stats()
+        n_rejects = rejects.count()
+        assert stats["rows_quarantined"] == n_rejects, (stats, n_rejects)
+        out = rows.unionByName(qcounts)
+        out_dir = _result_out_dir("dps_deadletter_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_DEAD_LETTER = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+         (event_id % 23 = 0) AS corrupt,
+         (event_id % 23 <> 0 AND event_id % 29 = 0) AS nolsn
+  FROM events
+),
+state AS (
+  SELECT user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post AS (
+  -- only INTACT envelopes ever reach the apply path
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged
+  WHERE event_id > (SELECT w FROM wm) AND NOT corrupt AND NOT nolsn
+  GROUP BY user_id
+),
+merged AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.op ELSE 'r' END AS op,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post p FULL OUTER JOIN state s ON p.user_id = s.user_id
+)
+SELECT 'row' AS kind, user_id, round(value, 4) AS final_value,
+       lsn AS final_lsn
+FROM merged WHERE op <> 'd'
+UNION ALL
+SELECT 'q:unparseable_json', count(*), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM tagged WHERE event_id > (SELECT w FROM wm) AND corrupt
+UNION ALL
+SELECT 'q:missing_lsn', count(*), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM tagged WHERE event_id > (SELECT w FROM wm) AND nolsn
+"""
+
+
 def q_stateful_latest(spark, sf_dir):
     """Custom stateful STREAMING operator under the correctness gate:
     applyInPandasWithState latest-event filter (streaming/stateful.py)
@@ -1714,6 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_wal_conflict": q_cdc_snapshot_wal_conflict,
         "engine_replay": q_engine_replay,
         "engine_replay_evolve": q_engine_replay_evolve,
+        "engine_replay_multi": q_engine_replay_multi,
+        "engine_replay_rescale": q_engine_replay_rescale,
+        "dead_letter": q_dead_letter,
         "stateful_latest": q_stateful_latest,
         "bucket_assignment": q_bucket_assignment,
         "tracker_discovery": q_tracker_discovery,
@@ -1758,6 +2291,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_wal_conflict": SQL_CDC_SNAPSHOT_WAL_CONFLICT,
         "engine_replay": SQL_ENGINE_REPLAY,
         "engine_replay_evolve": SQL_ENGINE_REPLAY_EVOLVE,
+        "engine_replay_multi": SQL_ENGINE_REPLAY_MULTI,
+        "engine_replay_rescale": SQL_ENGINE_REPLAY,
+        "dead_letter": SQL_DEAD_LETTER,
         "stateful_latest": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,
         "tracker_discovery": SQL_TRACKER_DISCOVERY,

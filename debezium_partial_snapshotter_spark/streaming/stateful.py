@@ -32,6 +32,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -45,12 +46,38 @@ def latest_events_stateful(
     key: str = "doc_id",
     lsn_col: str = "lsn",
     op_col: str = "op",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """events: a STREAMING DataFrame with flat columns including
     ``key``, ``lsn_col``, ``op_col``. Returns a streaming DataFrame of
     the same flat schema: per key and micro-batch, the (lsn, op_rank)
-    winner, emitted only when it advances the key's all-time state."""
+    winner, emitted only when it advances the key's all-time state.
+
+    ``n_salt`` (VERDICT r4 next-4, hot-key skew): unsalted, the state
+    operator groups by ``key`` alone, so ONE hot key's micro-batch rows
+    land in a single task regardless of cluster size — the same window-
+    skew class the batch plans already chunk away. With ``n_salt`` set,
+    state is keyed ``(key, salt)`` where ``salt = lsn % n_salt``: the
+    hot key's rows spread over ``n_salt`` tasks, mirroring the batch B8
+    salted two-phase aggregate. Guarantees preserved EXACTLY:
+
+    - **in-flight suppression is unchanged** — a redelivered event
+      carries the same lsn, lands on the same salt, and is suppressed
+      by that salt's state;
+    - **at most n_salt rows per key per batch** reach the sink (one
+      per salt that advanced), instead of exactly one. The cross-salt
+      final merge is the sink apply's existing per-key (lsn, op_rank)
+      winner resolution (operators/dedup.py B4) — the same place the
+      batch salted aggregate puts its second phase — so the APPLIED
+      state is identical to the unsalted path's (pinned by
+      tests/test_stateful.py::test_stateful_salted_equivalence_hot_key).
+      A salt-local winner can be stale relative to the key's global
+      max; it loses at the merge, never in the table.
+
+    State stays 8 bytes per (key, salt): total state = n_salt x keys,
+    still payload-width-free."""
     out_schema = events.schema
+    cols = list(out_schema.fieldNames())
 
     def fn(
         key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -70,9 +97,18 @@ def latest_events_stateful(
                 best_row = pdf.loc[[i]]
         if best_row is not None and best_ord > prev:
             state.update((best_ord,))
-            yield best_row
+            yield best_row[cols]  # drop the salt column if present
 
-    return events.groupBy(key).applyInPandasWithState(
+    if n_salt is None:
+        grouped = events.groupBy(key)
+    else:
+        if int(n_salt) < 1:
+            raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+        salted = events.withColumn(
+            "_salt", F.pmod(F.col(lsn_col), F.lit(int(n_salt))).cast("int")
+        )
+        grouped = salted.groupBy(key, "_salt")
+    return grouped.applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,

@@ -439,3 +439,76 @@ def test_runner_surfaces_quarantine_count(spark, tmp_warehouse):
     stats = runner.tail_batch()
     assert stats["rows_quarantined"] == 1
     assert stats.get("applied")
+
+
+def test_quarantine_is_single_pass(spark, tmp_warehouse, monkeypatch):
+    """VERDICT r4 next-6: the dead-letter path must not run a separate
+    COUNT action over the malformed set — the count comes from the
+    written files' parquet footers. Pinned structurally: DataFrame
+    .count() is poisoned for the duration of the poll, so any
+    count-then-write regression fails loudly; the returned totals must
+    still be exact."""
+    from pyspark.sql import DataFrame as _DF
+
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    qdir = os.path.join(tmp_warehouse, "quarantine")
+    os.makedirs(log_dir)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00001.jsonl"),
+        [
+            _env("u", 10, after=_payload("d1", [1])),
+            "garbage not json",
+            "also { garbage",
+            json.dumps({"op": "u", "after": _payload("d9", [9]),
+                        "source": {}}),  # missing lsn
+        ],
+    )
+    src = DebeziumJsonSource(
+        spark, None, log_dir, num_buckets=NB, quarantine_dir=qdir
+    )
+
+    def _no_count(self):
+        raise AssertionError(
+            "DataFrame.count() ran inside the quarantine poll — the "
+            "dead-letter path must be single-pass (footer-counted)"
+        )
+
+    monkeypatch.setattr(_DF, "count", _no_count)
+    n = src._quarantine(src.wal_segment_paths())
+    monkeypatch.undo()
+    assert n == 3 and src.last_quarantined == 3
+    rejects = spark.read.parquet(os.path.join(qdir, "rejects"))
+    assert rejects.count() == 3
+    assert src.quarantine_stats()["rows_quarantined"] == 3
+
+    # a clean follow-up poll (also count-free) leaves no new artifacts
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00002.jsonl"),
+        [_env("u", 12, after=_payload("d3", [5]))],
+    )
+    files_before = sorted(os.listdir(os.path.join(qdir, "rejects")))
+    monkeypatch.setattr(_DF, "count", _no_count)
+    n2 = src._quarantine(src.wal_segment_paths())
+    monkeypatch.undo()
+    assert n2 == 0 and src.last_quarantined == 0
+    assert sorted(os.listdir(os.path.join(qdir, "rejects"))) == files_before
+    assert src.quarantine_stats()["rows_quarantined"] == 3
+
+
+def test_quarantine_clean_only_source_leaves_no_rejects_dir(
+    spark, tmp_warehouse
+):
+    """A source that never sees a malformed envelope must not grow a
+    rejects dir (the pre-single-pass observable, kept)."""
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    qdir = os.path.join(tmp_warehouse, "quarantine")
+    os.makedirs(log_dir)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00001.jsonl"),
+        [_env("u", 10, after=_payload("d1", [1]))],
+    )
+    src = DebeziumJsonSource(
+        spark, None, log_dir, num_buckets=NB, quarantine_dir=qdir
+    )
+    assert src._quarantine(src.wal_segment_paths()) == 0
+    assert not os.path.isdir(os.path.join(qdir, "rejects"))

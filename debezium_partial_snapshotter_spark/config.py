@@ -56,6 +56,21 @@ class PipelineConfig:
     # accumulate across the table
     mor_compact_threshold: int = 24
 
+    # storage reclamation (round 5): when expire_keep_last > 0, the
+    # runner expires superseded table versions every
+    # expire_every_applies applied batches — the newest keep_last
+    # manifests plus anything younger than expire_min_age_sec survive;
+    # data files referenced only by expired versions are reclaimed
+    # (LakeTable/IcebergTable.expire_versions). Without this, one CoW
+    # commit per epoch strands ~a touched-table copy per epoch forever.
+    # min_age is the in-flight-reader guard AND (Iceberg only) the
+    # commit-key visibility horizon — keep it above the redelivery
+    # window (plans/iceberg.py expire_versions docstring).
+    expire_keep_last: int = 0  # 0 = disabled
+    expire_min_age_sec: float = 3600.0
+    expire_orphan_grace_sec: float = 3600.0
+    expire_every_applies: int = 8
+
     # streaming
     checkpoint_dir: str = field(default="")
     max_files_per_trigger: int = 8

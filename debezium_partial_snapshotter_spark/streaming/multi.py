@@ -201,6 +201,20 @@ class MultiTableIngestRunner:
             if stats.get("applied"):
                 any_applied = True
                 self._record(phase, t, stats)
+                if self.cfg.expire_keep_last:
+                    # per-table storage reclamation on the steady-state
+                    # tail path (same policy as the single-table runner)
+                    counters = getattr(self, "_expire_counters", {})
+                    c = counters.get(t, 0) + 1
+                    if c >= self.cfg.expire_every_applies:
+                        c = 0
+                        stats["expiration"] = table.expire_versions(
+                            keep_last=self.cfg.expire_keep_last,
+                            min_age_sec=self.cfg.expire_min_age_sec,
+                            orphan_grace_sec=self.cfg.expire_orphan_grace_sec,
+                        )
+                    counters[t] = c
+                    self._expire_counters = counters
             out[t] = stats
         if any_applied:
             self._epoch += 1

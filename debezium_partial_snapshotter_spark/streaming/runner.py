@@ -203,6 +203,22 @@ class PartialIngestRunner:
             >= self.cfg.mor_compact_threshold
         ):
             stats["compaction"] = self.table.compact(self.spark)
+        if stats.get("applied") and self.cfg.expire_keep_last:
+            # storage reclamation rides the ingest loop (round 5): every
+            # expire_every_applies applied batches, superseded versions
+            # (including the bases a compaction just folded) give their
+            # files back — without it one CoW commit per epoch strands
+            # ~a touched-table copy per epoch forever
+            self._applies_since_expire = (
+                getattr(self, "_applies_since_expire", 0) + 1
+            )
+            if self._applies_since_expire >= self.cfg.expire_every_applies:
+                self._applies_since_expire = 0
+                stats["expiration"] = self.table.expire_versions(
+                    keep_last=self.cfg.expire_keep_last,
+                    min_age_sec=self.cfg.expire_min_age_sec,
+                    orphan_grace_sec=self.cfg.expire_orphan_grace_sec,
+                )
         return stats
 
     # ------------------------------------------------------------- phases

@@ -1,0 +1,130 @@
+"""Round-5 SELF-VALIDATING scaling matrix (VERDICT r4 "What's wrong 1"):
+the round-4 matrix accepted samples at any host-steal level and argued
+about them afterward. This protocol validates each sample as it lands —
+a run whose /proc/stat steal%% exceeds the threshold is DISCARDED and
+re-run (up to --max-redo attempts); only samples at or below the
+threshold enter the cells, so the round's canonical efficiency evidence
+stands on its own numbers. Samples that never pass are reported
+explicitly as unusable, never silently averaged in.
+
+Same job/methodology as rounds 3-4 otherwise (interleaved 8,32,32,8
+order per write mode, identical cached input per cell, cold session per
+run). Appends a dated round-5 section to BENCH/BASELINE.md.
+
+Usage:
+  TMPDIR=/dev/shm DPS_DRIVER_MEM=48g python scripts/scaling_r5.py \
+      [n_events] [samples_per_cell] [steal_threshold_pct] [max_redo]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from scaling_final import run_once  # noqa: E402
+
+
+def run_validated(
+    cpus: int, n_events: int, mode: str, threshold: float, max_redo: int
+) -> tuple[dict, int]:
+    """One VALID sample (steal <= threshold) or, failing max_redo
+    attempts, the least-stolen attempt marked unusable. Returns
+    (sample, n_discarded)."""
+    attempts = []
+    for i in range(max_redo):
+        r = run_once(cpus, n_events, mode)
+        attempts.append(r)
+        ok = r["steal_pct"] <= threshold
+        print(
+            f"  {mode} local[{cpus}] try {i + 1}: "
+            f"{r['replay_events_per_sec']:,.0f} ev/s ({r['replay_sec']}s, "
+            f"steal {r['steal_pct']}%, idle {r['idle_pct']}%)"
+            + ("" if ok else f"  DISCARDED (steal > {threshold}%)"),
+            flush=True,
+        )
+        if ok:
+            r["unusable"] = False
+            return r, i
+    best = min(attempts, key=lambda x: x["steal_pct"])
+    best["unusable"] = True
+    return best, len(attempts) - 1
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
+    samples = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    max_redo = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    cells: dict[tuple[str, int], list[dict]] = {}
+    discarded = 0
+    order = []
+    for mode in ("cow", "mor"):
+        seq = [8, 32, 32, 8] * ((samples + 1) // 2)
+        for c in seq[: samples * 2]:
+            order.append((mode, c))
+    for mode, cpus in order:
+        r, n_disc = run_validated(cpus, n_events, mode, threshold, max_redo)
+        discarded += n_disc
+        cells.setdefault((mode, cpus), []).append(r)
+
+    def valid(k):
+        return [x for x in cells[k] if not x["unusable"]]
+
+    best, med = {}, {}
+    for k, v in cells.items():
+        vs = valid(k) or v  # all-unusable cell: report but flag below
+        best[k] = max(x["replay_events_per_sec"] for x in vs)
+        med[k] = statistics.median(x["replay_events_per_sec"] for x in vs)
+    eff_best = {m: (best[(m, 32)] / best[(m, 8)]) / 4.0 for m in ("cow", "mor")}
+    eff_med = {m: (med[(m, 32)] / med[(m, 8)]) / 4.0 for m in ("cow", "mor")}
+    any_unusable = any(x["unusable"] for v in cells.values() for x in v)
+    total_events = n_events + max(1000, n_events // 20)
+
+    rows = "\n".join(
+        f"| {m} | local[{c}] {'(N)' if c == 8 else '(4N)'} | {best[(m, c)]:,.0f} | "
+        f"{med[(m, c)]:,.0f} | "
+        + "; ".join(
+            f"{x['replay_events_per_sec']:,.0f} (steal {x['steal_pct']}%"
+            + (", UNUSABLE" if x["unusable"] else "")
+            + ")"
+            for x in cells[(m, c)]
+        )
+        + " |"
+        for m in ("cow", "mor")
+        for c in (8, 32)
+    )
+    offheap = os.environ.get("DPS_OFFHEAP") or "20g (bench.py default)"
+    md = f"""
+
+## Round-5 scaling matrix (SELF-VALIDATING, {time.strftime('%Y-%m-%d %H:%M')})
+
+Protocol change vs rounds 3-4 (VERDICT r4): every sample must land at
+steal <= {threshold}% or it is auto-discarded and re-run (max {max_redo}
+attempts; {discarded} discarded this run) — each reported number below
+is certified low-interference, so this round's evidence stands alone.
+Same job otherwise: seed=42, {total_events:,} events, 32 buckets, cold
+session per run, order interleaved 8,32,32,8,
+DPS_OFFHEAP={offheap}; {samples} valid samples/cell.
+{"**WARNING: some cells never passed the steal gate (marked UNUSABLE) — treat those cells as absent.**" if any_unusable else "All reported samples passed the steal gate."}
+
+| write mode | parallelism | events/s (best) | events/s (median) | samples |
+|---|---|---|---|---|
+{rows}
+
+**N -> 4N efficiency, best-of-cell: cow = {eff_best['cow']:.3f},
+mor = {eff_best['mor']:.3f}; median: cow = {eff_med['cow']:.3f},
+mor = {eff_med['mor']:.3f}** (single-box memory-bus ceiling — see the
+honesty ledger above; the compute-bound control scales ~0.98).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
+        fh.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,3 +188,56 @@ def test_keep_last_validation(spark, tmp_warehouse):
     table, _expected, _d0 = _build(spark, tmp_warehouse, n_segments=2)
     with pytest.raises(ValueError, match="keep_last"):
         table.expire_versions(keep_last=0)
+
+
+def test_runner_integrated_expiration_bounds_storage(spark, tmp_warehouse):
+    """The ingest loop itself reclaims storage when configured
+    (cfg.expire_keep_last): replay many epochs, manifests and data stay
+    bounded, final state still matches the oracle, and the epoch-resume
+    + exactly-once machinery is unaffected."""
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.sources.readers import (
+        ParquetWalSource,
+    )
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+    from tests.test_tracker import write_state
+
+    spec = EventLogSpec(
+        n_docs=60, n_events=600, n_segments=6, seed=41, num_buckets=NB,
+    )
+    state = generate_initial_state(spec)
+    sp = os.path.join(tmp_warehouse, "s.parquet")
+    write_state(sp, state)
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    os.makedirs(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="pexp",
+        warehouse=os.path.join(tmp_warehouse, "wh"),
+        num_buckets=NB,
+        expire_keep_last=2,
+        expire_min_age_sec=0.0,
+        expire_orphan_grace_sec=0.0,
+        expire_every_applies=2,
+    )
+    src = ParquetWalSource(spark, sp, log_dir, num_buckets=NB)
+    runner = PartialIngestRunner(spark, cfg, src)
+    runner.start()
+    wal = generate_change_log(spec)
+    expired_any = False
+    for i, seg in enumerate(wal):
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(seg, os.path.join(log_dir, f"seg-{i:05d}.parquet"))
+        stats = runner.tail_batch()
+        if "expiration" in stats:
+            expired_any = True
+            assert stats["expiration"]["applied"]
+    assert expired_any
+    table = runner.table
+    # manifests bounded: keep_last + the horizon commits between sweeps
+    assert len(table._versions()) <= cfg.expire_keep_last + 2 * cfg.expire_every_applies
+    # correctness survives the reclamation
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    assert_state_matches(spark, table, oracle_apply([snap] + wal))

@@ -88,20 +88,21 @@ def _interval_us(gap: str) -> int:
     Multi-unit strings are valid Spark interval syntax accepted by the
     native session_window path, so the chunked path must parse them
     too (mode-dependent crashes would break the identical-output
-    contract). Accepts the optional leading ``interval`` keyword and
-    surrounding single quotes (``interval '30 minutes'``) — both valid
-    Spark CalendarInterval spellings the native path takes (ADVICE r4:
-    rejecting them here reintroduced the mode-dependent crash this
-    helper exists to prevent)."""
+    contract). Accepts the optional leading ``interval`` keyword
+    (``interval 30 minutes``) — the CalendarInterval spelling the
+    native path takes (ADVICE r4: rejecting it here reintroduced the
+    mode-dependent crash this helper exists to prevent). Quoted forms
+    (``'30 minutes'``) are deliberately NOT stripped: Spark's
+    stringToInterval rejects embedded quotes, so accepting them here
+    would create the same mode divergence in the opposite direction
+    (chunk= works, native crashes)."""
     body = gap.strip()
     if body.lower().startswith("interval"):
         rest = body[len("interval"):]
-        # only a KEYWORD use of 'interval' (followed by whitespace or a
-        # quote) is stripped — a unit typo like 'intervals' still errors
-        if rest[:1] in ("", " ", "\t", "'"):
+        # only a KEYWORD use of 'interval' (followed by whitespace) is
+        # stripped — a unit typo like 'intervals' still errors
+        if rest[:1] in ("", " ", "\t"):
             body = rest.strip()
-    if len(body) >= 2 and body[0] == "'" and body[-1] == "'":
-        body = body[1:-1]
     toks = body.split()
     if not toks or len(toks) % 2:
         raise ValueError(f"cannot parse interval {gap!r}")
@@ -160,7 +161,12 @@ def session_rollup(
     different partitionings and can differ in the last ulps (ADVICE r4:
     a sum landing near a rounding boundary can flip a normalized
     comparison). Off by default: the double sum is cheaper and is what
-    every other aggregation here reports."""
+    every other aggregation here reports. DOMAIN: finite values with
+    |v| < 10^29 — the non-ANSI double->decimal cast turns NaN/Infinity
+    and out-of-range values into NULL (sum skips them), identically in
+    native and chunked modes and in the DuckDB oracle, so the modes
+    stay equivalent but the sum silently omits such values; keep the
+    default double sum for data that can carry them."""
     if chunk is not None:
         return _session_rollup_chunked(
             df, ts_col, key, gap, agg_col, chunk, exact_sum

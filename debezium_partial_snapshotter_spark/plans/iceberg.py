@@ -790,6 +790,12 @@ class IcebergTable:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         import datetime
 
+        # the horizon instants are computed in UTC, so the literal MUST
+        # carry an explicit UTC zone: a bare TIMESTAMP '...' is parsed
+        # in the SESSION timezone (round-5 review finding — west-of-UTC
+        # sessions would read a UTC wall-clock string as a FUTURE
+        # instant, expiring inside the redelivery window and handing
+        # remove_orphan_files a concurrent writer's staged files)
         older_than = datetime.datetime.now(
             datetime.timezone.utc
         ) - datetime.timedelta(seconds=float(min_age_sec))
@@ -798,7 +804,7 @@ class IcebergTable:
             f"CALL {self._catalog()}.system.expire_snapshots"
             f"(table => '{self._table_path()}', "
             f"retain_last => {int(keep_last)}, "
-            f"older_than => TIMESTAMP '{ts}')"
+            f"older_than => TIMESTAMP '{ts} UTC')"
         )
         grace = datetime.datetime.now(
             datetime.timezone.utc
@@ -807,7 +813,7 @@ class IcebergTable:
         self.spark.sql(
             f"CALL {self._catalog()}.system.remove_orphan_files"
             f"(table => '{self._table_path()}', "
-            f"older_than => TIMESTAMP '{gts}')"
+            f"older_than => TIMESTAMP '{gts} UTC')"
         )
         return {
             "applied": True,

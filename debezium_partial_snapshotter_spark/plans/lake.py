@@ -952,6 +952,7 @@ class LakeTable:
         min_age_sec: float = 0.0,
         orphan_grace_sec: float = 3600.0,
         max_retries: int = 5,
+        sweep_orphans: bool = False,
     ) -> dict:
         """Storage reclamation (VERDICT r4 top item): every CoW commit
         strands the replaced bucket files — one epoch per commit means
@@ -964,10 +965,17 @@ class LakeTable:
            Serialized against concurrent commits by the same manifest
            CAS every writer uses; ``touched=[]`` so no writer is
            spuriously conflicted. Retained = the newest ``keep_last``
-           versions plus every version younger than ``min_age_sec``
-           (the in-flight-reader guard: a reader pins a version by
-           reading its manifest, so versions old enough to have no
-           live reader are governed by the age floor).
+           versions plus every version SUPERSEDED less than
+           ``min_age_sec`` ago (the in-flight-reader guard: a reader
+           can only have pinned a version while it was current, so the
+           protection clock starts when its successor committed — not
+           at the version's own commit, which may be arbitrarily far
+           in the past for a long-lived current version).
+           When nothing falls below the horizon the call is a pure
+           no-op — no manifest churn, no directory walk — unless
+           ``sweep_orphans=True`` forces the orphan pass (crashed
+           commits are otherwise reclaimed by the next sweep that
+           does expire something).
         2. **Physical delete, after the CAS**: manifests below the
            horizon, then every data file referenced by NO retained
            manifest and older than ``orphan_grace_sec`` (the grace
@@ -1001,17 +1009,43 @@ class LakeTable:
             man = self.manifest(cur_v)
             retained = set(versions[-keep_last:])
             if min_age_sec > 0:
-                for v in versions:
+                # a version is expirable only once it has been
+                # SUPERSEDED for at least min_age_sec — the clock starts
+                # at the SUCCESSOR's commit, not the version's own
+                # (round-5 review finding: a version that stayed current
+                # for hours would otherwise be reclaimed one minute
+                # after being superseded, under a reader that pinned it
+                # while it was still current)
+                for i, v in enumerate(versions[:-1]):
                     if v in retained:
                         continue
                     try:
-                        if self.manifest(v).get("ts", 0) > now - min_age_sec:
+                        superseded_at = self.manifest(versions[i + 1]).get(
+                            "ts", 0
+                        )
+                        if superseded_at > now - min_age_sec:
                             retained.add(v)
                     except FileNotFoundError:
                         pass  # already gone (prior run's phase 2)
             horizon = max(
                 min(retained), man.get("min_version", versions[0])
             )
+            if not any(v < horizon for v in versions):
+                # nothing expirable: skip the CAS (no manifest churn on
+                # a quiet table) and — unless an orphan-only sweep was
+                # requested — the O(table files) directory walk too;
+                # the runner calls this every few applies, so the no-op
+                # path must cost ~one manifest read (round-5 review)
+                if not sweep_orphans:
+                    return {
+                        "applied": False,
+                        "reason": "nothing_to_expire",
+                        "horizon": horizon,
+                        "expired_manifests": 0,
+                        "files_deleted": 0,
+                        "bytes_deleted": 0,
+                    }
+                break  # orphan-only: no horizon change, straight to 2
             new_man = {
                 **man,
                 "version": cur_v + 1,
@@ -1054,10 +1088,21 @@ class LakeTable:
                         for f in files
                     )
         files_deleted = 0
+        # ancestor dirs of live files: data files sit under
+        # c-<id>/_bucket=N/ while the _SUCCESS marker sits at the
+        # c-<id>/ root, so marker liveness must look at the SUBTREE,
+        # not the same directory (round-5 review)
+        data_abs = os.path.abspath(self.data_dir)
+        live_dirs: set[str] = set()
+        for p in live:
+            d = os.path.dirname(p)
+            while d.startswith(data_abs):
+                live_dirs.add(d)
+                if d == data_abs:
+                    break
+                d = os.path.dirname(d)
         for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            dir_has_live = any(
-                os.path.abspath(os.path.join(root, f)) in live for f in files
-            )
+            dir_has_live = os.path.abspath(root) in live_dirs
             for f in files:
                 p = os.path.join(root, f)
                 if os.path.abspath(p) in live:

@@ -83,6 +83,7 @@ class MultiTableIngestRunner:
             f"{cfg.warehouse}/_commit_log/__multi__", COMMIT_LOG_ARROW
         )
         self._epoch = self._resume_epoch()
+        self._expire_counters: dict[str, int] = {}  # per-table cadence
 
     # ------------------------------------------------------------ helpers
     def _resume_epoch(self) -> int:
@@ -204,8 +205,7 @@ class MultiTableIngestRunner:
                 if self.cfg.expire_keep_last:
                     # per-table storage reclamation on the steady-state
                     # tail path (same policy as the single-table runner)
-                    counters = getattr(self, "_expire_counters", {})
-                    c = counters.get(t, 0) + 1
+                    c = self._expire_counters.get(t, 0) + 1
                     if c >= self.cfg.expire_every_applies:
                         c = 0
                         stats["expiration"] = table.expire_versions(
@@ -213,8 +213,7 @@ class MultiTableIngestRunner:
                             min_age_sec=self.cfg.expire_min_age_sec,
                             orphan_grace_sec=self.cfg.expire_orphan_grace_sec,
                         )
-                    counters[t] = c
-                    self._expire_counters = counters
+                    self._expire_counters[t] = c
             out[t] = stats
         if any_applied:
             self._epoch += 1

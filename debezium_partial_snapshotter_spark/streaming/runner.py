@@ -78,6 +78,7 @@ class PartialIngestRunner:
         self.metrics = AppendLog(cfg.metrics_path, METRICS_ARROW)
         self.commit_log = AppendLog(cfg.commit_log_path, COMMIT_LOG_ARROW)
         self._epoch = self._resume_epoch()
+        self._applies_since_expire = 0  # cfg.expire_keep_last cadence
 
     # ------------------------------------------------------------ helpers
     def _resume_epoch(self) -> int:
@@ -209,9 +210,7 @@ class PartialIngestRunner:
             # (including the bases a compaction just folded) give their
             # files back — without it one CoW commit per epoch strands
             # ~a touched-table copy per epoch forever
-            self._applies_since_expire = (
-                getattr(self, "_applies_since_expire", 0) + 1
-            )
+            self._applies_since_expire += 1
             if self._applies_since_expire >= self.cfg.expire_every_applies:
                 self._applies_since_expire = 0
                 stats["expiration"] = self.table.expire_versions(

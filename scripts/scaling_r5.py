@@ -40,11 +40,19 @@ def run_validated(
         r = run_once(cpus, n_events, mode)
         attempts.append(r)
         ok = r["steal_pct"] <= threshold
+        last = i == max_redo - 1
         print(
             f"  {mode} local[{cpus}] try {i + 1}: "
             f"{r['replay_events_per_sec']:,.0f} ev/s ({r['replay_sec']}s, "
             f"steal {r['steal_pct']}%, idle {r['idle_pct']}%)"
-            + ("" if ok else f"  DISCARDED (steal > {threshold}%)"),
+            + (
+                ""
+                if ok
+                else (
+                    f"  over steal gate ({threshold}%) — "
+                    + ("kept as UNUSABLE" if last else "discarded, re-running")
+                )
+            ),
             flush=True,
         )
         if ok:
@@ -52,6 +60,7 @@ def run_validated(
             return r, i
     best = min(attempts, key=lambda x: x["steal_pct"])
     best["unusable"] = True
+    # the kept-but-unusable attempt is not counted as discarded
     return best, len(attempts) - 1
 
 

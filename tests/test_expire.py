@@ -153,12 +153,13 @@ def test_expire_min_age_retains_recent_versions(spark, tmp_warehouse):
     n_before = len(table._versions())
     out = table.expire_versions(keep_last=1, min_age_sec=1e6,
                                 orphan_grace_sec=0)
-    # every manifest is younger than min_age: nothing expires (the
-    # in-flight-reader guard), though the horizon manifest still lands
-    # (a handful of never-manifested writer side-file stubs may go —
-    # that's orphan GC, not version expiration)
-    assert out["expired_manifests"] == 0
-    assert len(table._versions()) == n_before + 1
+    # every version was superseded less than min_age ago: nothing is
+    # expirable (the in-flight-reader guard, clocked from the
+    # SUCCESSOR's commit), and the call is a pure no-op — no horizon
+    # manifest churn, no directory walk (round-5 review)
+    assert out["applied"] is False and out["reason"] == "nothing_to_expire"
+    assert out["expired_manifests"] == 0 and out["files_deleted"] == 0
+    assert len(table._versions()) == n_before
     # every manifest-referenced file is untouched, every version readable
     for v in table._versions():
         m = table.manifest(v)
@@ -241,3 +242,99 @@ def test_runner_integrated_expiration_bounds_storage(spark, tmp_warehouse):
     # correctness survives the reclamation
     snap = snapshot_read_events(state, spec.start_lsn, spec)
     assert_state_matches(spark, table, oracle_apply([snap] + wal))
+
+
+def _set_manifest_ts(table, version, ts):
+    import json
+
+    p = os.path.join(table.manifest_dir, f"v{version:08d}.json")
+    with open(p) as fh:
+        man = json.load(fh)
+    man["ts"] = ts
+    with open(p, "w") as fh:
+        json.dump(man, fh)
+
+
+def test_expire_min_age_clock_starts_at_supersession(spark, tmp_warehouse):
+    """Round-5 review finding: the reader guard must clock from when a
+    version was SUPERSEDED, not from its own commit. A version that
+    stayed current for hours is still protected for min_age after its
+    successor lands; conversely an old version superseded long ago is
+    reclaimable even if some successor is recent."""
+    table, expected, _d0 = _build(spark, tmp_warehouse, n_segments=3)
+    versions = table._versions()
+    now = time.time()
+    # all commits look ancient...
+    for v in versions:
+        _set_manifest_ts(table, v, now - 100_000)
+    # ...but the LAST commit is fresh: the previous current version
+    # (versions[-2]) was superseded only just now
+    _set_manifest_ts(table, versions[-1], now)
+
+    out = table.expire_versions(keep_last=1, min_age_sec=3600,
+                                orphan_grace_sec=0)
+    kept = table._versions()
+    # versions[-2] survived (superseded < min_age ago, a reader may
+    # still be pinned to it); everything older was reclaimed
+    assert versions[-2] in kept
+    assert all(v not in kept for v in versions[:-2])
+    assert out["expired_manifests"] == len(versions) - 2
+    assert_state_matches(spark, table, expected)
+
+
+def test_expire_noop_skips_cas_and_walk_unless_sweeping(
+    spark, tmp_warehouse
+):
+    """On a quiet table expire is a pure no-op (no manifest churn);
+    sweep_orphans=True forces the orphan pass without a horizon CAS."""
+    table, expected, _d0 = _build(spark, tmp_warehouse, n_segments=2)
+    table.expire_versions(keep_last=1, min_age_sec=0, orphan_grace_sec=0)
+    n = len(table._versions())
+
+    # plant an aged orphan from a crashed commit
+    d = os.path.join(table.data_dir, "c-0ddba11", "_bucket=0")
+    os.makedirs(d)
+    orphan = os.path.join(d, "part-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"z" * 64)
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+
+    # keep_last large enough that nothing is expirable -> pure no-op:
+    # no CAS, no walk, the orphan survives
+    out = table.expire_versions(keep_last=50, min_age_sec=0,
+                                orphan_grace_sec=0)
+    assert out["applied"] is False and out["reason"] == "nothing_to_expire"
+    assert len(table._versions()) == n
+    assert os.path.exists(orphan)
+
+    # forced orphan sweep: still no CAS (no horizon change), but the
+    # walk runs and reclaims the crashed commit
+    out = table.expire_versions(keep_last=50, min_age_sec=0,
+                                orphan_grace_sec=0, sweep_orphans=True)
+    assert out["applied"] is True and out["expired_manifests"] == 0
+    assert len(table._versions()) == n
+    assert not os.path.exists(orphan)
+    assert_state_matches(spark, table, expected)
+
+
+def test_expire_success_marker_of_live_commit_dir_survives(
+    spark, tmp_warehouse
+):
+    """Round-5 review finding: data files live under c-<id>/_bucket=N/
+    while _SUCCESS sits at the c-<id>/ root — marker liveness must be
+    judged on the commit-dir SUBTREE, so a live commit's _SUCCESS is
+    never reaped."""
+    table, expected, _d0 = _build(spark, tmp_warehouse, n_segments=2)
+    # locate a commit dir that holds CURRENT (live) data
+    man = table.manifest()
+    some_live = next(iter(man["buckets"].values()))[0]
+    commit_dir = os.path.join(
+        table.path, some_live.split(os.sep + "_bucket=")[0]
+    )
+    success = os.path.join(commit_dir, "_SUCCESS")
+    assert os.path.exists(success)
+    # age the marker well past any grace
+    os.utime(success, (time.time() - 7200, time.time() - 7200))
+    table.expire_versions(keep_last=1, min_age_sec=0, orphan_grace_sec=0)
+    assert os.path.exists(success)  # its subtree holds live files
+    assert_state_matches(spark, table, expected)

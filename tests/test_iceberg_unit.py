@@ -700,8 +700,15 @@ def test_expire_versions_emits_both_procedures(fake):
     exp = [q for q in fake.sqls if "system.expire_snapshots" in q]
     orph = [q for q in fake.sqls if "system.remove_orphan_files" in q]
     assert len(exp) == 1 and "retain_last => 3" in exp[0]
-    assert "table => 'db.t'" in exp[0] and "older_than => TIMESTAMP" in exp[0]
-    assert len(orph) == 1 and "older_than => TIMESTAMP" in orph[0]
+    assert "table => 'db.t'" in exp[0]
+    # the horizon literal must carry an EXPLICIT UTC zone: a bare
+    # TIMESTAMP '...' parses in the session timezone, shifting the
+    # min_age/grace horizons by the UTC offset (round-5 review — a
+    # west-of-UTC session would read the horizon as a FUTURE instant,
+    # expiring keys inside the redelivery window and handing
+    # remove_orphan_files a concurrent writer's staged files)
+    assert "older_than => TIMESTAMP '" in exp[0] and " UTC')" in exp[0]
+    assert len(orph) == 1 and " UTC')" in orph[0]
     assert getattr(fake, "orphans_removed", False)
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_versions(keep_last=0)

@@ -600,8 +600,6 @@ def test_interval_us_accepts_interval_keyword_and_quotes():
     base = _interval_us("30 minutes")
     assert _interval_us("interval 30 minutes") == base
     assert _interval_us("INTERVAL 30 minutes") == base
-    assert _interval_us("Interval '30 minutes'") == base
-    assert _interval_us("'30 minutes'") == base
     assert _interval_us("interval 1 hour 30 minutes") == base + 3_600_000_000
     # a unit TYPO starting with 'interval' must still error, as must
     # the bare keyword
@@ -609,6 +607,13 @@ def test_interval_us_accepts_interval_keyword_and_quotes():
         _interval_us("intervals")
     with pytest.raises(ValueError):
         _interval_us("interval")
+    # quoted forms are rejected IN BOTH MODES (Spark's stringToInterval
+    # rejects embedded quotes, so accepting them only here would be the
+    # same mode divergence the keyword fix removed, mirrored)
+    with pytest.raises(ValueError):
+        _interval_us("'30 minutes'")
+    with pytest.raises(ValueError):
+        _interval_us("interval '30 minutes'")
 
 
 def test_session_rollup_interval_keyword_gap_both_modes(spark):

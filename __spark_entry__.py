@@ -2237,6 +2237,161 @@ GROUP BY user_id, sess
 """
 
 
+def q_session_rollup_stream(spark, sf_dir):
+    """The WATERMARKED STREAMING session rollup under the correctness
+    gate (round 5 — previously the streaming twin was pytest-only).
+    The events table feeds a file-source stream in three micro-batches:
+    the real data, then two far-future sentinel rows (user_id = -1, at
+    max_ts + 10d and + 20d) whose only job is to advance the watermark
+    so every REAL session finalizes and emits exactly once in append
+    mode. The sentinels' own sessions never finalize (nothing advances
+    the watermark past them) and are filtered by user_id >= 0, so the
+    emitted set equals the batch semantics exactly — the oracle is the
+    very same gaps-and-islands SQL as `session_rollup`, making the
+    driver verify the streaming path against the batch definition.
+    ``exact_sum=True`` keeps sum_value order-independent like the
+    batch rows."""
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_partial_snapshotter_spark.streaming.windows import (
+        session_rollup_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value"),
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    wh = tempfile.mkdtemp(prefix="dps_sessstream_")
+    out_dir = _result_out_dir("dps_sessstream_out_")
+    try:
+        feed = os.path.join(wh, "feed")
+        os.makedirs(feed)
+        tmp = os.path.join(wh, "b0_tmp")
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(feed, "b000.parquet"))
+
+        def write_sentinel(i: int, days: int) -> None:
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [max_ts + timedelta(days=days)], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "value": pa.array([0.0], pa.float64()),
+                }
+            )
+            pq.write_table(t, os.path.join(feed, f"b{i:03d}.parquet"))
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint, value double"
+        ).parquet(feed)
+        rolled = session_rollup_stream(
+            stream, gap="30 minutes", watermark="1 minute", exact_sum=True
+        )
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            rolled.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(wh, "chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # two sentinel batches: the first makes the real data's max
+            # timestamp the watermark (finalizing all but the newest
+            # sessions), the second pushes the watermark 10 days past
+            # the data (finalizing the rest)
+            write_sentinel(1, 10)
+            q.processAllAvailable()
+            write_sentinel(2, 20)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = spark.read.schema(
+            "user_id bigint, session_start bigint, session_end bigint, "
+            "n_events bigint, sum_value double"
+        ).parquet(out_dir)
+        return res.where(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def q_stateful_latest_salted(spark, sf_dir):
+    """The SALTED stateful latest-event filter under the correctness
+    gate (round 5): state keyed (key, lsn % 8) spreads a hot key over
+    8 tasks; the operator emits at most one winner per (key, salt), and
+    the row applies the cross-salt B4 merge the sink apply performs —
+    so the oracle is the SAME SQL as `stateful_latest`, making the
+    driver verify the salted rewrite end-to-end (the asof_join_chunked
+    pattern, applied to the streaming operator)."""
+    from debezium_partial_snapshotter_spark.functions import op_rank
+    from debezium_partial_snapshotter_spark.streaming.stateful import (
+        latest_events_stateful,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", F.when(F.col("event_type") == "error", "d").otherwise("u"))
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_id").cast("long").alias("lsn"),
+            "op",
+            "value",
+        )
+    )
+    wh = tempfile.mkdtemp(prefix="dps_statefuls_")
+    out_dir = _result_out_dir("dps_statefuls_out_")
+    try:
+        feed = os.path.join(wh, "feed")
+        ev.coalesce(1).write.mode("overwrite").parquet(feed)
+        stream = spark.readStream.schema(
+            "doc_id string, lsn long, op string, value double"
+        ).parquet(feed)
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            latest_events_stateful(stream, n_salt=8)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(wh, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        res = spark.read.schema(
+            "doc_id string, lsn long, op string, value double"
+        ).parquet(out_dir)
+        # cross-salt final merge: the per-key (lsn, op_rank) winner —
+        # exactly what the sink apply's B4 dedup does with emissions
+        ordv = F.col("lsn") * 4 + op_rank(F.col("op"))
+        best = res.groupBy("doc_id").agg(F.max(ordv).alias("_mx"))
+        winner = (
+            res.withColumn("_o", ordv)
+            .join(best.hint("SHUFFLE_HASH"), "doc_id")
+            .where(F.col("_o") == F.col("_mx"))
+        )
+        return winner.select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.col("op").alias("last_op"),
+            F.round("value", 4).alias("last_value"),
+            F.col("lsn").alias("last_lsn"),
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_last_image": q_cdc_last_image,
@@ -2248,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_replay_rescale": q_engine_replay_rescale,
         "dead_letter": q_dead_letter,
         "stateful_latest": q_stateful_latest,
+        "stateful_latest_salted": q_stateful_latest_salted,
         "bucket_assignment": q_bucket_assignment,
         "tracker_discovery": q_tracker_discovery,
         "catchup_backlog": q_catchup_backlog,
@@ -2256,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rollup": q_window_rollup,
         "session_rollup": q_session_rollup,
         "session_rollup_chunked": q_session_rollup_chunked,
+        "session_rollup_stream": q_session_rollup_stream,
         "asof_join": q_asof_join,
         "asof_join_chunked": q_asof_join_chunked,
         "tpch_q1": q_tpch_q1,
@@ -2295,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_replay_rescale": SQL_ENGINE_REPLAY,
         "dead_letter": SQL_DEAD_LETTER,
         "stateful_latest": SQL_STATEFUL_LATEST,
+        "stateful_latest_salted": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,
         "tracker_discovery": SQL_TRACKER_DISCOVERY,
         "catchup_backlog": SQL_CATCHUP_BACKLOG,
@@ -2303,6 +2461,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rollup": SQL_WINDOW_ROLLUP,
         "session_rollup": SQL_SESSION_ROLLUP,
         "session_rollup_chunked": SQL_SESSION_ROLLUP,
+        "session_rollup_stream": SQL_SESSION_ROLLUP,
         "asof_join": SQL_ASOF_JOIN,
         "asof_join_chunked": SQL_ASOF_JOIN,
         "tpch_q1": SQL_TPCH_Q1,

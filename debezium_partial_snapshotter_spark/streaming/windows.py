@@ -60,6 +60,7 @@ def session_rollup_stream(
     gap: str = "30 minutes",
     watermark: str = "1 minute",
     agg_col: str = "value",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``operators.windows.session_rollup``:
     watermarked ``session_window`` aggregation for ``writeStream`` in
@@ -73,14 +74,17 @@ def session_rollup_stream(
     caveat as the batch twin (merge shuffles by key alone); for a
     hot-key corpus run the batch chunked plan over closed windows
     instead. Column contract matches the batch twin, so the two paths
-    are interchangeable downstream."""
+    are interchangeable downstream; ``exact_sum`` mirrors the batch
+    twin's order-independent DECIMAL(38,9) sum (same domain caveat)."""
     sw = F.session_window(F.col(ts_col), gap)
+    sum_in = F.col(agg_col).cast("decimal(38,9)") if exact_sum else F.col(agg_col)
+    sum_expr = F.sum(sum_in).cast("double") if exact_sum else F.sum(sum_in)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(sw.alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(agg_col).alias("sum_value"),
+            sum_expr.alias("sum_value"),
         )
         .select(
             key,

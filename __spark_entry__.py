@@ -2237,6 +2237,185 @@ GROUP BY user_id, sess
 """
 
 
+def q_cdc_changefeed(spark, sf_dir):
+    """The CDC-OUT side under the correctness gate (round 5):
+    ``LakeTable.read_changes`` — the Delta-CDF / Iceberg-changelog
+    analog a downstream incremental consumer reads instead of
+    re-scanning the table. Run the engine replay (snapshot at W plus
+    two WAL tails), capture the version after the FIRST tail, and
+    return the net row-level change feed from that version to the
+    final one: inserts (keys born in tail 2), updates (keys whose
+    winning (_lsn, _op_rank) advanced), deletes (keys whose final op
+    in tail 2 was 'd' — surfaced with their PRE-image). The DuckDB
+    twin diffs the two declarative upsert images at the same
+    watermarks."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.functions import table_partition
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    event_schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("snapshot", StringType(), True),
+            StructField("table_partition", StringType(), False),
+            StructField("after", payload, True),
+        ]
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    bounds = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("w"),
+        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m"),
+    ).collect()[0]
+    w, mid = bounds["w"], bounds["m"]
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_changefeed_")
+    try:
+        state = (
+            ev.where(F.col("event_id") <= w)
+            .groupBy("user_id")
+            .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
+            .where(F.col("s.op") != "d")
+            .select(
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        state_path = os.path.join(wh, "state.parquet")
+        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        log_dir = os.path.join(wh, "wal")
+        os.makedirs(log_dir)
+
+        def write_wal(lo: int, hi: int, name: str) -> None:
+            seg = ev.where(
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+            ).select(
+                "op",
+                F.col("user_id").cast("string").alias("doc_id"),
+                F.col("event_id").cast("long").alias("lsn"),
+                F.lit("false").alias("snapshot"),
+                table_partition(
+                    "tokens", bucket_id(F.col("user_id").cast("string"), nb)
+                ).alias("table_partition"),
+                F.when(F.col("op") == "d", F.lit(None).cast(payload))
+                .otherwise(
+                    F.struct(
+                        F.col("user_id").cast("string").alias("doc_id"),
+                        F.col("value"),
+                    )
+                )
+                .alias("after"),
+            )
+            seg.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(log_dir, name)
+            )
+
+        cfg = PipelineConfig(
+            pipeline_id="changefeed",
+            warehouse=os.path.join(wh, "wh"),
+            num_buckets=nb,
+        )
+        src = ParquetWalSource(
+            spark, state_path, log_dir, num_buckets=nb,
+            event_schema=event_schema,
+        )
+        runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
+        runner.start()
+        write_wal(w, mid, "seg-00001.parquet")
+        runner.tail_batch()
+        v1 = runner.table.current_version()  # the consumer's cursor
+        write_wal(mid, 1 << 60, "seg-00002.parquet")
+        runner.tail_batch()
+
+        out = runner.table.read_changes(spark, v1).select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.col("_change_type").alias("change_type"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        out_dir = _result_out_dir("dps_changefeed_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_CDC_CHANGEFEED = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w,
+                   CAST(floor(max(event_id)*3/4) AS BIGINT) AS mid
+            FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+state AS (
+  SELECT user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post1 AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged
+  WHERE event_id > (SELECT w FROM wm) AND event_id <= (SELECT mid FROM wm)
+  GROUP BY user_id
+),
+post2 AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged WHERE event_id > (SELECT w FROM wm)
+  GROUP BY user_id
+),
+img1 AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post1 p FULL OUTER JOIN state s ON p.user_id = s.user_id
+  WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+),
+img2 AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post2 p FULL OUTER JOIN state s ON p.user_id = s.user_id
+  WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+)
+SELECT coalesce(n.user_id, o.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       round(CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END, 4)
+         AS final_value,
+       CASE WHEN n.user_id IS NULL THEN o.lsn ELSE n.lsn END AS final_lsn
+FROM img2 n FULL OUTER JOIN img1 o ON n.user_id = o.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
+"""
+
+
 def q_session_rollup_stream(spark, sf_dir):
     """The WATERMARKED STREAMING session rollup under the correctness
     gate (round 5 — previously the streaming twin was pytest-only).
@@ -2402,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_replay_multi": q_engine_replay_multi,
         "engine_replay_rescale": q_engine_replay_rescale,
         "dead_letter": q_dead_letter,
+        "cdc_changefeed": q_cdc_changefeed,
         "stateful_latest": q_stateful_latest,
         "stateful_latest_salted": q_stateful_latest_salted,
         "bucket_assignment": q_bucket_assignment,
@@ -2451,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_replay_multi": SQL_ENGINE_REPLAY_MULTI,
         "engine_replay_rescale": SQL_ENGINE_REPLAY,
         "dead_letter": SQL_DEAD_LETTER,
+        "cdc_changefeed": SQL_CDC_CHANGEFEED,
         "stateful_latest": SQL_STATEFUL_LATEST,
         "stateful_latest_salted": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,

@@ -733,6 +733,16 @@ class IcebergTable:
     def delta_stats(self) -> dict:
         return {"buckets_with_deltas": [], "delta_files": 0}
 
+    def read_changes(self, *a, **kw):
+        raise NotImplementedError(
+            "on Iceberg, use the runtime's native changelog scan: "
+            "CALL <catalog>.system.create_changelog_view(table => ..., "
+            "options => map('start-snapshot-id', ...)) — it produces "
+            "the same insert/update/delete row feed LakeTable."
+            "read_changes computes, from the snapshot log this adapter "
+            "already maintains."
+        )
+
     def compact(self, spark: SparkSession, min_files: int = 2, commit_key=None) -> dict:
         """rewrite_data_files with the min-input-files threshold mapped
         from ``min_files``. ``commit_key`` is not recorded: the rewrite

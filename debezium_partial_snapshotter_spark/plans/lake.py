@@ -403,6 +403,120 @@ class LakeTable:
             key=man.get("bucket_key", "doc_id"),
         ).drop("_is_delete")
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions — the
+        CDC-OUT side of the engine (Delta CDF / Iceberg changelog-scan
+        analog): a downstream incremental consumer reads only what
+        changed since the version it last processed, instead of
+        re-scanning the table (round 5; driver row ``cdc_changefeed``).
+
+        Returns the NET per-key effect over ``(from_version,
+        to_version]`` with a ``_change_type`` column:
+
+        - ``insert`` — key absent at from_version, present at to;
+          row = post-image;
+        - ``update`` — present in both with a different winning
+          ``(_lsn, _op_rank)``; row = post-image (net effect: the
+          intermediate images a multi-epoch range collapsed are not
+          replayed — same contract as resolving the versions);
+        - ``delete`` — present at from_version, absent at to;
+          row = PRE-image (the only image that exists for it).
+
+        100-TB cost model: both versions are resolved ONLY over the
+        buckets the range actually touched (union of the ``touched``
+        manifest field down the parent chain — the same metadata the
+        conflict detector walks), so the scan is O(changed buckets) +
+        one key-partitioned full-outer join, never a table scan. A
+        manifest without ``touched`` (pre-upgrade) degrades to all
+        buckets, conservative. Reading below the expiration horizon
+        raises VersionExpiredError (the consumer re-bootstraps from a
+        full read — Delta CDF behaves the same when history is
+        vacuumed)."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_v}"
+            )
+        key = self.bucket_key
+        empty_types = F.lit(None).cast("string")
+        if from_version == to_v:
+            sch = self.schema(to_v)
+            return (
+                self._read_files(spark, [], sch)
+                .withColumn("_change_type", empty_types)
+            )
+        # touched buckets over (from_version, to_v]
+        touched: set[int] | None = set()
+        cur = self.manifest(to_v)
+        while cur["version"] > from_version:
+            t = cur.get("touched")
+            if t is None:
+                touched = None  # pre-upgrade manifest: all buckets
+                break
+            touched.update(int(b) for b in t)
+            parent = cur.get("parent")
+            if parent is None:
+                break
+            cur = self.manifest(parent)  # raises VersionExpiredError
+        buckets = None if touched is None else sorted(touched)
+        if buckets == []:
+            sch = self.schema(to_v)
+            return (
+                self._read_files(spark, [], sch)
+                .withColumn("_change_type", empty_types)
+            )
+        old = self.read(spark, buckets=buckets, version=from_version)
+        new = self.read(spark, buckets=buckets, version=to_v)
+        # evolution-safe compare: up-cast the old image to the new
+        # schema (add-column -> NULL, widen in place), same rule the
+        # base reader applies to old files
+        new_sch = self.schema(to_v)
+        old = old.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in old.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_sch.fields
+            ]
+        )
+        o = old.select(
+            F.col(key).alias("_ck"),
+            (F.col("_lsn") * 4 + F.col("_op_rank")).alias("_oord"),
+            *[
+                F.col(c).alias(f"_old_{i}")
+                for i, c in enumerate(old.columns)
+            ],
+        )
+        n = new.select(
+            F.col(key).alias("_ck"),
+            (F.col("_lsn") * 4 + F.col("_op_rank")).alias("_nord"),
+            "*",
+        )
+        j = n.join(o, "_ck", "full_outer")
+        ctype = (
+            F.when(F.col("_nord").isNull(), F.lit("delete"))
+            .when(F.col("_oord").isNull(), F.lit("insert"))
+            .when(F.col("_nord") != F.col("_oord"), F.lit("update"))
+        )
+        j = j.withColumn("_change_type", ctype).where(
+            F.col("_change_type").isNotNull()
+        )
+        # deletes surface the PRE-image (the post-image does not exist)
+        out_cols = [
+            F.when(
+                F.col("_change_type") == "delete", F.col(f"_old_{i}")
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for i, c in enumerate(new.columns)
+        ]
+        return j.select(*out_cols, "_change_type")
+
     # ------------------------------------------------------------- commit
     def _write_partitioned(
         self, df: DataFrame, affected_buckets: list[int]

@@ -75,7 +75,19 @@ def latest_events_stateful(
       max; it loses at the merge, never in the table.
 
     State stays 8 bytes per (key, salt): total state = n_salt x keys,
-    still payload-width-free."""
+    still payload-width-free. STATE LIFETIME: entries live for the
+    query's lifetime (NoTimeout) — at 10^10 keys that is ~80 GB of
+    state store, so bound it by ACTIVE keys in production with native
+    state TTL (Spark 4 ``transformWithStateInPandas`` TTLConfig on a
+    RocksDB state store). A GroupStateTimeout-based TTL was built and
+    REJECTED in round 5: ``ProcessingTimeTimeout`` makes the
+    availableNow MultiBatchExecutor spin timeout-check batches
+    endlessly and deadlocks ``processAllAvailable`` (py4j callback
+    eventually dies) on this Spark version — the eviction belongs in
+    the state store, not the timeout channel. Evicting a key re-opens
+    its suppression window (a later stale redelivery re-emits), which
+    stays harmless downstream: the sink apply's (_lsn, _op_rank) merge
+    and commit keys make re-applies idempotent at the lake."""
     out_schema = events.schema
     cols = list(out_schema.fieldNames())
 

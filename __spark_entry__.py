@@ -2423,9 +2423,11 @@ def q_session_rollup_stream(spark, sf_dir):
     the real data, then two far-future sentinel rows (user_id = -1, at
     max_ts + 10d and + 20d) whose only job is to advance the watermark
     so every REAL session finalizes and emits exactly once in append
-    mode. The sentinels' own sessions never finalize (nothing advances
-    the watermark past them) and are filtered by user_id >= 0, so the
-    emitted set equals the batch semantics exactly — the oracle is the
+    mode. The user_id >= 0 filter is LOAD-BEARING: sentinel 1's own
+    session DOES finalize (sentinel 2's batch advances the watermark
+    past it) and would otherwise add a spurious row; sentinel 2's
+    never does. With it, the emitted set equals the batch semantics
+    exactly — the oracle is the
     very same gaps-and-islands SQL as `session_rollup`, making the
     driver verify the streaming path against the batch definition.
     ``exact_sum=True`` keeps sum_value order-independent like the

@@ -791,10 +791,16 @@ class IcebergTable:
           same in-flight-writer grace window as LakeTable's
           ``orphan_grace_sec``.
 
-        ``min_age_sec`` maps to ``older_than`` (Iceberg expires only
-        snapshots older than it); time-travel below the horizon then
-        fails with Iceberg's own cannot-find-snapshot error — the
-        VersionExpiredError analog.
+        ``min_age_sec`` is applied with the SUPERSESSION clock (same
+        rule as LakeTable): a snapshot is expirable only once its
+        SUCCESSOR has been current for min_age — ``older_than`` is
+        derived from the ``.history`` ancestor timeline rather than
+        passed as now - min_age, because Iceberg's own parameter
+        compares each snapshot's OWN commit time (a snapshot current
+        for hours would be expirable a minute after being superseded,
+        under a reader that pinned it while current). Time-travel
+        below the horizon then fails with Iceberg's own
+        cannot-find-snapshot error — the VersionExpiredError analog.
         """
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
@@ -806,9 +812,40 @@ class IcebergTable:
         # sessions would read a UTC wall-clock string as a FUTURE
         # instant, expiring inside the redelivery window and handing
         # remove_orphan_files a concurrent writer's staged files)
-        older_than = datetime.datetime.now(
-            datetime.timezone.utc
-        ) - datetime.timedelta(seconds=float(min_age_sec))
+        now_ms = int(
+            datetime.datetime.now(datetime.timezone.utc).timestamp() * 1000
+        )
+        cutoff_ms = now_ms - int(float(min_age_sec) * 1000)
+        older_ms = cutoff_ms
+        if min_age_sec > 0:
+            # SUPERSESSION clock, not own-commit clock (the same
+            # round-5 fix LakeTable got): Iceberg's older_than compares
+            # each snapshot's OWN commit time, so a snapshot current
+            # for hours would be expirable one minute after being
+            # superseded, under a reader that pinned it while current.
+            # Derive older_than from the ancestor history instead:
+            # retain ancestor i iff its SUCCESSOR became current after
+            # the cutoff — a SUFFIX (made_current_at is monotone along
+            # the ancestry) — and set older_than to its first member's
+            # commit time (Iceberg expires strictly older). Epochs are
+            # compared in SQL (unix_millis), never via driver-local
+            # datetime parsing, so no session-timezone dependence.
+            rows = self.spark.sql(
+                f"SELECT unix_millis(made_current_at) AS ms "
+                f"FROM {self.identifier}.history "
+                "WHERE is_current_ancestor = true ORDER BY ms"
+            ).collect()
+            times = [int(r["ms"]) for r in rows if r["ms"] is not None]
+            if times:
+                k = len(times)  # first ancestor made current > cutoff
+                for idx, t in enumerate(times):
+                    if t > cutoff_ms:
+                        k = idx
+                        break
+                older_ms = min(times[max(0, k - 1)], cutoff_ms)
+        older_than = datetime.datetime.fromtimestamp(
+            older_ms / 1000.0, datetime.timezone.utc
+        )
         ts = older_than.strftime("%Y-%m-%d %H:%M:%S")
         self.spark.sql(
             f"CALL {self._catalog()}.system.expire_snapshots"

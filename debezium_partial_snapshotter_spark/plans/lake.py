@@ -321,31 +321,46 @@ class LakeTable:
     def snapshot_lsn(self) -> int:
         return self.manifest().get("snapshot_lsn", -1)
 
+    def _touched_between(
+        self, from_version: int, to_version: int
+    ) -> set[int] | None:
+        """Union of ``touched`` buckets over every manifest in
+        (from_version, to_version], walked down the parent chain — the
+        ONE chain traversal behind both the concurrent-writer conflict
+        check and the change feed. Returns None when any manifest in
+        the range predates the ``touched`` field (conservative:
+        everything). Propagates FileNotFoundError/VersionExpiredError
+        when the chain crosses the expiration horizon — each caller
+        owns its policy for that."""
+        touched: set[int] = set()
+        cur = self.manifest(to_version)
+        while cur["version"] > from_version:
+            t = cur.get("touched")
+            if t is None:
+                return None
+            touched.update(int(b) for b in t)
+            parent = cur.get("parent")
+            if parent is None:
+                break
+            cur = self.manifest(parent)
+        return touched
+
     def _conflicting_buckets(
         self, read_version: int, man: dict, affected: Iterable[int]
     ) -> set[int]:
         """Buckets in ``affected`` touched by any commit in
-        (read_version, man.version] — walked over the parent chain.
-        Manifests written before ``touched`` existed count as touching
-        everything (conservative)."""
+        (read_version, man.version]. Manifests written before
+        ``touched`` existed count as touching everything
+        (conservative); so does a chain that crosses the expiration
+        horizon (the writer read BEFORE an expire_versions ran — it
+        conflicts out and re-reads)."""
         wanted = {int(b) for b in affected}
-        hit: set[int] = set()
-        cur = man
-        while cur["version"] > read_version:
-            t = cur.get("touched")
-            if t is None:
-                return wanted  # pre-upgrade manifest: assume full overlap
-            hit.update(int(b) for b in t)
-            parent = cur.get("parent")
-            if parent is None:
-                break
-            try:
-                cur = self.manifest(parent)
-            except FileNotFoundError:
-                # the chain crosses the expiration horizon: the writer
-                # read BEFORE an expire_versions ran — conservative
-                # full overlap (it conflicts out and re-reads)
-                return wanted
+        try:
+            hit = self._touched_between(read_version, man["version"])
+        except FileNotFoundError:
+            return wanted
+        if hit is None:
+            return wanted
         return hit & wanted
 
     # --------------------------------------------------------------- read
@@ -450,19 +465,10 @@ class LakeTable:
                 self._read_files(spark, [], sch)
                 .withColumn("_change_type", empty_types)
             )
-        # touched buckets over (from_version, to_v]
-        touched: set[int] | None = set()
-        cur = self.manifest(to_v)
-        while cur["version"] > from_version:
-            t = cur.get("touched")
-            if t is None:
-                touched = None  # pre-upgrade manifest: all buckets
-                break
-            touched.update(int(b) for b in t)
-            parent = cur.get("parent")
-            if parent is None:
-                break
-            cur = self.manifest(parent)  # raises VersionExpiredError
+        # touched buckets over (from_version, to_v] — the shared chain
+        # walk; VersionExpiredError propagates (the consumer must
+        # re-bootstrap), unlike the conflict check's conservative policy
+        touched = self._touched_between(from_version, to_v)
         buckets = None if touched is None else sorted(touched)
         if buckets == []:
             sch = self.schema(to_v)
@@ -472,10 +478,17 @@ class LakeTable:
             )
         old = self.read(spark, buckets=buckets, version=from_version)
         new = self.read(spark, buckets=buckets, version=to_v)
+        new_sch = self.schema(to_v)
+        # BOTH sides re-projected to the manifest-schema column order:
+        # the positional _old_{i} pairing below depends on it, and a
+        # MoR-resolving read reorders columns (the resolve join puts
+        # the bucket key FIRST) — on a table whose bucket_key is not
+        # the first schema field, delete rows' pre-images would land
+        # in the wrong columns (round-5 second review pass)
+        new = new.select(*[f.name for f in new_sch.fields])
         # evolution-safe compare: up-cast the old image to the new
         # schema (add-column -> NULL, widen in place), same rule the
         # base reader applies to old files
-        new_sch = self.schema(to_v)
         old = old.select(
             *[
                 F.col(f.name).cast(f.dataType)
@@ -1122,25 +1135,35 @@ class LakeTable:
             cur_v = versions[-1]
             man = self.manifest(cur_v)
             retained = set(versions[-keep_last:])
-            if min_age_sec > 0:
+            if min_age_sec > 0 and len(versions) > 1:
                 # a version is expirable only once it has been
                 # SUPERSEDED for at least min_age_sec — the clock starts
                 # at the SUCCESSOR's commit, not the version's own
-                # (round-5 review finding: a version that stayed current
-                # for hours would otherwise be reclaimed one minute
-                # after being superseded, under a reader that pinned it
-                # while it was still current)
-                for i, v in enumerate(versions[:-1]):
-                    if v in retained:
-                        continue
+                # (round-5 review: a version that stayed current for
+                # hours would otherwise be reclaimed one minute after
+                # being superseded, under a reader that pinned it while
+                # it was still current). Commit timestamps are monotone
+                # in version, so the age-protected set is a SUFFIX —
+                # binary-search its start in O(log V) manifest reads
+                # instead of reading one manifest per young version on
+                # every sweep (second review pass: at 1 commit/min with
+                # a 1 h floor that was ~60 full-manifest loads per
+                # sweep on the ingest hot path).
+                cutoff = now - min_age_sec
+                lo, hi = 0, len(versions)  # first idx with ts > cutoff
+                while lo < hi:
+                    mid = (lo + hi) // 2
                     try:
-                        superseded_at = self.manifest(versions[i + 1]).get(
-                            "ts", 0
-                        )
-                        if superseded_at > now - min_age_sec:
-                            retained.add(v)
+                        ts_mid = self.manifest(versions[mid]).get("ts", 0)
                     except FileNotFoundError:
-                        pass  # already gone (prior run's phase 2)
+                        ts_mid = 0  # already reclaimed: certainly old
+                    if ts_mid > cutoff:
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                # retain v_i iff its successor committed after the
+                # cutoff: successor index i+1 >= lo  <=>  i >= lo-1
+                retained.update(versions[max(0, lo - 1):])
             horizon = max(
                 min(retained), man.get("min_version", versions[0])
             )

@@ -120,9 +120,64 @@ def test_read_changes_below_horizon_raises(spark, tmp_warehouse):
 def test_read_changes_validation_and_iceberg_guidance(spark):
     from debezium_partial_snapshotter_spark.plans import iceberg as ice
 
-    class _S:  # no catalog needed: the method must raise before use
-        pass
-
+    # no catalog needed: the method must raise before touching the session
     t = ice.IcebergTable.__new__(ice.IcebergTable)
     with pytest.raises(NotImplementedError, match="create_changelog_view"):
         t.read_changes(None, 1)
+
+
+def test_read_changes_key_not_first_column_with_mor_deltas(
+    spark, tmp_warehouse
+):
+    """Round-5 second review pass: the MoR-resolving read puts the
+    bucket key FIRST in its output columns, so the feed's positional
+    pre-image pairing must re-project to schema order — on a table
+    whose bucket_key is not the first field, delete rows' pre-images
+    previously landed in the wrong columns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.functions import bucket_id
+    from debezium_partial_snapshotter_spark.plans.lake import LakeTable
+
+    schema = StructType(
+        [
+            StructField("score", DoubleType(), True),  # key NOT first
+            StructField("doc_id", StringType(), False),
+            StructField("_lsn", LongType(), False),
+            StructField("_op_rank", IntegerType(), False),
+        ]
+    )
+    t = LakeTable.create(
+        os.path.join(tmp_warehouse, "t2"), schema, num_buckets=2,
+        bucket_key="doc_id",
+    )
+    base = spark.createDataFrame(
+        [(1.5, "a", 1, 1), (2.5, "b", 1, 1)], schema
+    ).withColumn("_bucket", bucket_id(F.col("doc_id"), 2))
+    t.replace_buckets(base, [0, 1])
+    v1 = t.current_version()
+
+    delta_schema = StructType(
+        list(schema.fields) + [StructField("_is_delete", BooleanType(), False)]
+    )
+    deltas = spark.createDataFrame(
+        [(None, "a", 2, 3, True), (9.5, "b", 2, 2, False)], delta_schema
+    ).withColumn("_bucket", bucket_id(F.col("doc_id"), 2))
+    t.append_deltas(deltas, [0, 1])  # to-version resolves through MoR
+
+    ch = {
+        r["doc_id"]: (r["_change_type"], r["score"], r["_lsn"])
+        for r in t.read_changes(spark, v1).collect()
+    }
+    # the delete surfaces its PRE-image with values in the RIGHT columns
+    assert ch["a"] == ("delete", 1.5, 1)
+    assert ch["b"] == ("update", 9.5, 2)

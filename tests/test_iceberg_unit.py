@@ -161,9 +161,12 @@ class FakeSpark:
         return self.main[-1]["id"] if self.main else 0
 
     def commit(self, target, summary):
+        import time as _time
+
         if self.suppress_all_commits:
             return None
-        snap = {"id": self.next_id, "summary": summary}
+        snap = {"id": self.next_id, "summary": summary,
+                "ts_ms": int(_time.time() * 1000)}
         self.next_id += 1
         self.all_snaps.append(snap)
         if ".branch_" in target:
@@ -186,6 +189,13 @@ class FakeSpark:
         if "SHOW TBLPROPERTIES" in q:
             return FakeResult(
                 [FakeRow(key=k, value=v) for k, v in self.props.items()]
+            )
+        if ".history" in q and "unix_millis" in q:
+            # current-ancestor timeline (made_current_at as epoch ms);
+            # snapshots created without ts_ms (hand-built in tests)
+            # read as epoch 0 — ancient
+            return FakeResult(
+                [FakeRow(ms=s.get("ts_ms", 0)) for s in self.main]
             )
         if ".snapshots" in q and "summary[" in q:
             # the adapter restricts to current ancestors via .history;
@@ -226,16 +236,30 @@ class FakeSpark:
             self.main.extend(br["snaps"])
             return FakeResult([])
         if "system.expire_snapshots" in q:
-            # Iceberg semantics (spec + expire_snapshots docs): keep
-            # the newest `retain_last` ancestors of every ref head AND
-            # every snapshot reachable from ANY ref — branches (incl.
-            # in-flight dps_audit_* WAP branches) pin their fork point
-            # and their own commits against expiration.
+            # Iceberg semantics (spec + expire_snapshots docs): expire
+            # only snapshots committed STRICTLY BEFORE older_than,
+            # always keeping the newest `retain_last` ancestors of the
+            # head AND every snapshot reachable from ANY ref — branches
+            # (incl. in-flight dps_audit_* WAP branches) pin their fork
+            # point and their own commits against expiration.
+            import datetime as _dt
+
             retain = int(q.split("retain_last =>", 1)[1].split(",")[0].strip(" )"))
+            lit = q.split("older_than => TIMESTAMP '", 1)[1].split("'")[0]
+            assert lit.endswith(" UTC"), lit  # explicit zone required
+            older_ms = int(
+                _dt.datetime.strptime(lit[:-4], "%Y-%m-%d %H:%M:%S")
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp() * 1000
+            )
             protected = {s["id"] for s in self.main[-retain:]}
             for br in self.branches.values():
                 protected.add(br["base"])
                 protected.update(s["id"] for s in br["snaps"])
+            protected.update(
+                s["id"] for s in self.all_snaps
+                if s.get("ts_ms", 0) >= older_ms
+            )
             before = {s["id"] for s in self.all_snaps}
             self.main = [s for s in self.main if s["id"] in protected]
             self.all_snaps = [
@@ -768,3 +792,32 @@ def test_wap_publish_still_works_after_expiration(fake):
     # publish: main head unchanged since fork -> fast-forward succeeds
     fake.sql("CALL cat.system.fast_forward('main', 'dps_audit_y')")
     assert fake.main[-1]["summary"] == {"k": "v"}
+
+
+def test_expire_min_age_uses_supersession_clock(fake):
+    """Second round-5 review pass: Iceberg's own older_than compares a
+    snapshot's OWN commit time, so a snapshot current for hours would
+    be expirable a minute after being superseded, under a reader that
+    pinned it while current. The adapter derives older_than from the
+    ancestor timeline instead: retain an ancestor while its SUCCESSOR
+    is younger than min_age."""
+    import time as _time
+
+    t = ice.IcebergTable(fake, "cat.db.t")
+    now_ms = int(_time.time() * 1000)
+    fake.main = [
+        {"id": 1, "summary": {}, "ts_ms": now_ms - 10_000_000},  # ~3h old
+        {"id": 2, "summary": {}, "ts_ms": now_ms - 7_000_000},   # ~2h old
+        {"id": 3, "summary": {}, "ts_ms": now_ms - 5_000},       # just now
+    ]
+    fake.all_snaps = list(fake.main)
+    # snapshot 2 was current for ~2h and superseded only seconds ago: a
+    # reader may still be pinned to it — min_age must protect it even
+    # though its OWN commit is ancient. Snapshot 1 was superseded ~2h
+    # ago: reclaimable.
+    t.expire_versions(keep_last=1, min_age_sec=3600)
+    ids = {s["id"] for s in fake.all_snaps}
+    assert ids == {2, 3}
+    # with the age floor off, only retain_last survives
+    t.expire_versions(keep_last=1, min_age_sec=0)
+    assert {s["id"] for s in fake.all_snaps} == {3}

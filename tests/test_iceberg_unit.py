@@ -197,6 +197,17 @@ class FakeSpark:
             return FakeResult(
                 [FakeRow(ms=s.get("ts_ms", 0)) for s in self.main]
             )
+        if ".snapshots" in q and "unix_millis" in q and "snapshot_id =" in q:
+            # head-commit-time lookup for the staleness-filtered audit
+            # branch GC; a snapshot absent from the listing (or without
+            # ts_ms) reads as unknown -> the adapter must protect it
+            want = int(q.rsplit("snapshot_id =", 1)[1].strip())
+            pool = list(self.all_snaps) + [
+                s for br in self.branches.values() for s in br["snaps"]
+            ]
+            return FakeResult(
+                [FakeRow(ms=s.get("ts_ms")) for s in pool if s["id"] == want][:1]
+            )
         if ".snapshots" in q and "summary[" in q:
             # the adapter restricts to current ancestors via .history;
             # the fake's `main` IS that ancestor set
@@ -209,7 +220,15 @@ class FakeSpark:
                 [FakeRow(snapshot_id=s["id"]) for s in self.all_snaps]
             )
         if ".refs" in q and "type = 'BRANCH'" in q:
-            return FakeResult([FakeRow(name=n) for n in self.branches])
+            return FakeResult([
+                FakeRow(
+                    name=n,
+                    snapshot_id=(
+                        br["snaps"][-1]["id"] if br["snaps"] else br["base"]
+                    ),
+                )
+                for n, br in self.branches.items()
+            ])
         if ".refs" in q and "name = 'main'" in q:
             if self.refs_broken:
                 return FakeResult([])
@@ -792,6 +811,47 @@ def test_wap_publish_still_works_after_expiration(fake):
     # publish: main head unchanged since fork -> fast-forward succeeds
     fake.sql("CALL cat.system.fast_forward('main', 'dps_audit_y')")
     assert fake.main[-1]["summary"] == {"k": "v"}
+
+
+def test_expire_self_gcs_stale_audit_branches_not_live_ones(fake):
+    """Round 6 (VERDICT r5 item 4): expire_versions must be
+    self-contained on the unattended ingest cadence — a CRASHED audit
+    branch (head older than min_age) no longer pins its fork point,
+    while a LIVE writer's in-flight branch (head committed just now)
+    and a branch with an unreadable head clock both survive."""
+    import time as _time
+
+    t = ice.IcebergTable(fake, "cat.db.t")
+    now_ms = int(_time.time() * 1000)
+    old = now_ms - 10_000_000  # ~2.8 h ago, far past min_age
+    fake.main = [
+        {"id": 1, "summary": {}, "ts_ms": old - 3000},
+        {"id": 2, "summary": {}, "ts_ms": old - 2000},
+        {"id": 3, "summary": {}, "ts_ms": old - 1000},
+        {"id": 4, "summary": {}, "ts_ms": old},
+    ]
+    stale = {"base": 2, "snaps": [{"id": 50, "summary": {}, "ts_ms": old - 1500}]}
+    live = {"base": 3, "snaps": [{"id": 60, "summary": {}, "ts_ms": now_ms}]}
+    fake.branches["dps_audit_crashed"] = stale
+    fake.branches["dps_audit_live"] = live
+    # head snapshot id 99 exists nowhere: unknown clock -> protected
+    fake.branches["dps_audit_unknown"] = {"base": 99, "snaps": []}
+    fake.all_snaps = list(fake.main) + stale["snaps"] + live["snaps"]
+
+    out = t.expire_versions(keep_last=1, min_age_sec=3600)
+    assert out["gc_audit_branches"] == ["dps_audit_crashed"]
+    assert "dps_audit_crashed" not in fake.branches
+    assert "dps_audit_live" in fake.branches
+    assert "dps_audit_unknown" in fake.branches
+    ids = {s["id"] for s in fake.all_snaps}
+    # the crashed branch no longer pins 2 or 50; the live branch still
+    # pins its fork point 3 and its own commit 60; head 4 retained
+    assert ids == {3, 4, 60}
+
+    # min_age_sec == 0: no staleness clock -> never touch branches
+    out0 = t.expire_versions(keep_last=1, min_age_sec=0)
+    assert out0["gc_audit_branches"] == []
+    assert "dps_audit_live" in fake.branches
 
 
 def test_expire_min_age_uses_supersession_clock(fake):

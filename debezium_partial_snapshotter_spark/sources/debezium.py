@@ -291,14 +291,21 @@ class DebeziumJsonSource(ParquetWalSource):
         side metadata read, no second scan) — the old
         count-then-maybe-write shape parsed a dirty batch three times
         including the main decode; this parses it twice total, the
-        floor while decode and quarantine are separate scans. The
-        this-batch file set is the listing diff of the rejects dir
-        around the append (Spark part-file names are UUID-unique, so
-        the diff is exact even with prior batches present). Opt-in via
-        ``quarantine_dir``. Pinned single-pass by
+        floor while decode and quarantine are separate scans. Each
+        batch lands in its OWN private staging dir first and its part
+        files are then moved into the flat ``rejects/`` dir (ADVICE
+        r5: the previous listing-diff of the SHARED rejects dir
+        attributed any concurrent writer's part files to this batch,
+        corrupting ``last_quarantined`` and the audit log — the
+        staging dir makes the this-batch file set exact under any
+        concurrency, while readers keep the flat single-directory
+        layout). A clean batch leaves no rejects artifacts at all.
+        Opt-in via ``quarantine_dir``. Pinned single-pass by
         tests/test_debezium.py::test_quarantine_is_single_pass (no
         .count() action may run here)."""
+        import shutil as _shutil
         import time
+        import uuid as _uuid
 
         import pyarrow.parquet as _pq
 
@@ -310,40 +317,34 @@ class DebeziumJsonSource(ParquetWalSource):
             self.spark.read.text(new_paths), payload_schema=self.payload_schema
         )
         rejects_dir = os.path.join(self.quarantine_dir, "rejects")
-        before = (
-            set(os.listdir(rejects_dir))
-            if os.path.isdir(rejects_dir)
-            else set()
+        staging = os.path.join(
+            self.quarantine_dir, f"_staging-{_uuid.uuid4().hex}"
         )
-        dead.withColumn(
-            "quarantined_at", F.current_timestamp()
-        ).write.mode("append").parquet(rejects_dir)
-        written = [
-            f
-            for f in os.listdir(rejects_dir)
-            if f not in before and f.endswith(".parquet")
-        ]
-        n = sum(
-            _pq.read_metadata(os.path.join(rejects_dir, f)).num_rows
-            for f in written
-        )
-        self.last_quarantined = n
-        if not n:
-            # clean batch: drop the empty part files the append left so
-            # the rejects dir stays O(dirty batches), not O(polls); if
-            # the dir was fresh, remove it entirely (a never-dirty
-            # source keeps its old no-sink-artifacts observable)
-            if not before:
-                import shutil as _shutil
-
-                _shutil.rmtree(rejects_dir, ignore_errors=True)
-            else:
+        try:
+            dead.withColumn(
+                "quarantined_at", F.current_timestamp()
+            ).write.mode("overwrite").parquet(staging)
+            written = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ]
+            n = sum(
+                _pq.read_metadata(os.path.join(staging, f)).num_rows
+                for f in written
+            )
+            self.last_quarantined = n
+            if n:
+                os.makedirs(rejects_dir, exist_ok=True)
                 for f in written:
-                    for name in (f, f".{f}.crc"):  # part + its checksum
-                        try:
-                            os.unlink(os.path.join(rejects_dir, name))
-                        except OSError:
-                            pass
+                    # part names carry a job UUID: unique across
+                    # batches and writers, so a flat move cannot clash
+                    for name in (f, f".{f}.crc"):  # part + checksum
+                        src = os.path.join(staging, name)
+                        if os.path.exists(src):
+                            os.replace(
+                                src, os.path.join(rejects_dir, name)
+                            )
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
         # record the batch (even clean ones: the file-dedup seed), but
         # only count rows when rejects exist
         self._qlog.append(

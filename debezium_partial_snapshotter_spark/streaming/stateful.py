@@ -116,6 +116,15 @@ def latest_events_stateful(
     else:
         if int(n_salt) < 1:
             raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+        if "_salt" in cols:
+            # the salt column is synthesized here and silently dropped
+            # on emit (best_row[cols]); a user column of the same name
+            # would be OVERWRITTEN by the synthetic value and grouped
+            # on, corrupting the user's data undetected (ADVICE r5)
+            raise ValueError(
+                "input already has a `_salt` column; rename it before "
+                "using latest_events_stateful(n_salt=...)"
+            )
         salted = events.withColumn(
             "_salt", F.pmod(F.col(lsn_col), F.lit(int(n_salt))).cast("int")
         )

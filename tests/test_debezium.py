@@ -331,6 +331,51 @@ def test_quarantine_sink_routes_rejects_and_applies_good_rows(
     assert src.quarantine_stats()["rows_quarantined"] == 2
 
 
+def test_quarantine_count_immune_to_concurrent_writer(
+    spark, tmp_warehouse, monkeypatch
+):
+    """ADVICE r5: the old listing-diff of the SHARED rejects dir
+    attributed a concurrent poller's part files to this batch. The
+    per-batch staging dir makes the count exact: a foreign part file
+    landing in rejects/ mid-write must not inflate last_quarantined or
+    the audit log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    log_dir = os.path.join(tmp_warehouse, "wal")
+    qdir = os.path.join(tmp_warehouse, "quarantine")
+    os.makedirs(log_dir)
+    _write_jsonl(
+        os.path.join(log_dir, "seg-00001.jsonl"),
+        [_env("u", 10, after=_payload("d1", [1])), "garbage not json"],
+    )
+    orig = DataFrameWriter.parquet
+
+    def racy(self, path, **kw):
+        # a concurrent poller (sharing quarantine_dir) lands its own
+        # reject part exactly while this batch's write is in flight
+        rdir = os.path.join(qdir, "rejects")
+        os.makedirs(rdir, exist_ok=True)
+        pq.write_table(
+            pa.table({"value": ["x"] * 5, "reason": ["foreign"] * 5}),
+            os.path.join(rdir, "part-foreign-writer.parquet"),
+        )
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", racy)
+    src = DebeziumJsonSource(
+        spark, None, log_dir, num_buckets=NB, quarantine_dir=qdir
+    )
+    src.wal_batch()
+    assert src.last_quarantined == 1  # NOT 6: foreign rows unattributed
+    assert src.quarantine_stats()["rows_quarantined"] == 1
+    # the foreign writer's file itself is untouched in the shared dir
+    assert os.path.exists(
+        os.path.join(qdir, "rejects", "part-foreign-writer.parquet")
+    )
+
+
 # ------------------------------------------------------------ kafka smoke
 def _kafka_available(spark) -> bool:
     try:

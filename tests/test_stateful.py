@@ -180,3 +180,9 @@ def test_stateful_salted_validation(spark, tmp_warehouse):
     df = spark.readStream.schema(FLAT).parquet(feed)
     with pytest.raises(ValueError, match="n_salt"):
         latest_events_stateful(df, n_salt=0)
+    # ADVICE r5: a user `_salt` column would be silently overwritten by
+    # the synthetic salt and emitted back in the user's column — refuse
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="_salt"):
+        latest_events_stateful(df.withColumn("_salt", F.lit(7)), n_salt=4)

@@ -2416,6 +2416,315 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
 """
 
 
+def _changefeed_scaffold(spark, sf_dir, write_mode="cow"):
+    """Shared engine scaffold for the changefeed-consumer rows (round 6):
+    snapshot at W, then THREE WAL tails at watermarks m1 < m2 < end,
+    each applied as one commit; returns (runner, versions-after-each-
+    tail, cleanup-dir). The ChangefeedReader rows consume the resulting
+    version chain in cursor steps."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.config import PipelineConfig
+    from debezium_partial_snapshotter_spark.functions import table_partition
+    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
+    from debezium_partial_snapshotter_spark.streaming.runner import (
+        PartialIngestRunner,
+    )
+
+    payload = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    event_schema = StructType(
+        [
+            StructField("op", StringType(), False),
+            StructField("doc_id", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("snapshot", StringType(), True),
+            StructField("table_partition", StringType(), False),
+            StructField("after", payload, True),
+        ]
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    bounds = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("w"),
+        F.floor(F.max("event_id") * 5 / 8).cast("long").alias("m1"),
+        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m2"),
+    ).collect()[0]
+    w, m1, m2 = bounds["w"], bounds["m1"], bounds["m2"]
+
+    nb = 8
+    wh = tempfile.mkdtemp(prefix="dps_cfr_")
+    state = (
+        ev.where(F.col("event_id") <= w)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
+        .where(F.col("s.op") != "d")
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("s.value").alias("value"),
+        )
+    )
+    state_path = os.path.join(wh, "state.parquet")
+    state.coalesce(1).write.mode("overwrite").parquet(state_path)
+    log_dir = os.path.join(wh, "wal")
+    os.makedirs(log_dir)
+
+    def write_wal(lo: int, hi: int, name: str) -> None:
+        seg = ev.where(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        ).select(
+            "op",
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_id").cast("long").alias("lsn"),
+            F.lit("false").alias("snapshot"),
+            table_partition(
+                "tokens", bucket_id(F.col("user_id").cast("string"), nb)
+            ).alias("table_partition"),
+            F.when(F.col("op") == "d", F.lit(None).cast(payload))
+            .otherwise(
+                F.struct(
+                    F.col("user_id").cast("string").alias("doc_id"),
+                    F.col("value"),
+                )
+            )
+            .alias("after"),
+        )
+        seg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(log_dir, name)
+        )
+
+    cfg = PipelineConfig(
+        pipeline_id="cfr",
+        warehouse=os.path.join(wh, "wh"),
+        num_buckets=nb,
+        write_mode=write_mode,
+        # the delta row pins the FAST PATH: keep auto-compaction out of
+        # the polled range (24-file default would fire on the 3rd tail)
+        mor_compact_threshold=1_000_000,
+    )
+    src = ParquetWalSource(
+        spark, state_path, log_dir, num_buckets=nb,
+        event_schema=event_schema,
+    )
+    runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
+    runner.start()
+    versions = []
+    for lo, hi, name in (
+        (w, m1, "seg-00001.parquet"),
+        (m1, m2, "seg-00002.parquet"),
+        (m2, 1 << 60, "seg-00003.parquet"),
+    ):
+        write_wal(lo, hi, name)
+        runner.tail_batch()
+        versions.append(runner.table.current_version())
+    return runner, versions, wh
+
+
+def q_cdc_changefeed_cursor(spark, sf_dir):
+    """The cursor-persisted incremental consumer (round 6 — VERDICT r5
+    next-3): a ChangefeedReader starts at the version after WAL tail 1,
+    then consumes the rest of the chain in TWO poll/commit cursor steps
+    (net mode), exactly how a downstream service advances one epoch at
+    a time instead of calling read_changes with hand-tracked versions.
+    Returns the union of both steps tagged with the step number; the
+    DuckDB twin computes the same two consecutive image diffs at the
+    same watermarks. (Union-of-steps deliberately does NOT equal the
+    one-shot feed of cdc_changefeed: a key changed in both windows
+    appears once per step — same as consuming Delta CDF epoch-wise —
+    so the twin is two-window by construction.)"""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedReader,
+    )
+
+    runner, versions, wh = _changefeed_scaffold(spark, sf_dir)
+    try:
+        reader = ChangefeedReader(
+            runner.table, os.path.join(wh, "cursor")
+        )
+        reader.start(from_version=versions[0])
+        steps = []
+        for step, to_v in ((1, versions[1]), (2, versions[2])):
+            # bounded advance: each poll consumes exactly one tail's
+            # worth of versions — the epoch-at-a-time consumer cadence
+            batch = reader.poll(spark, mode="net", to_version=to_v)
+            steps.append(
+                batch.df.withColumn("step", F.lit(step).cast("int"))
+            )
+            reader.commit(batch)
+        assert reader.cursor() == versions[-1]
+        out = steps[0].unionByName(steps[1]).select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.col("step"),
+            F.col("_change_type").alias("change_type"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        out_dir = _result_out_dir("dps_cfr_cursor_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_CDC_CHANGEFEED_CURSOR = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w,
+                   CAST(floor(max(event_id)*5/8) AS BIGINT) AS m1,
+                   CAST(floor(max(event_id)*3/4) AS BIGINT) AS m2
+            FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+state AS (
+  SELECT user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post1 AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged
+  WHERE event_id > (SELECT w FROM wm) AND event_id <= (SELECT m1 FROM wm)
+  GROUP BY user_id
+),
+post2 AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged
+  WHERE event_id > (SELECT w FROM wm) AND event_id <= (SELECT m2 FROM wm)
+  GROUP BY user_id
+),
+post3 AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged WHERE event_id > (SELECT w FROM wm)
+  GROUP BY user_id
+),
+img1 AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post1 p FULL OUTER JOIN state s ON p.user_id = s.user_id
+  WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+),
+img2 AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post2 p FULL OUTER JOIN state s ON p.user_id = s.user_id
+  WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+),
+img3 AS (
+  SELECT coalesce(p.user_id, s.user_id) AS user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+         CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END AS lsn
+  FROM post3 p FULL OUTER JOIN state s ON p.user_id = s.user_id
+  WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+),
+step1 AS (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id, 1 AS step,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         round(CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END, 4)
+           AS final_value,
+         CASE WHEN n.user_id IS NULL THEN o.lsn ELSE n.lsn END AS final_lsn
+  FROM img2 n FULL OUTER JOIN img1 o ON n.user_id = o.user_id
+  WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
+),
+step2 AS (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id, 2 AS step,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         round(CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END, 4)
+           AS final_value,
+         CASE WHEN n.user_id IS NULL THEN o.lsn ELSE n.lsn END AS final_lsn
+  FROM img3 n FULL OUTER JOIN img2 o ON n.user_id = o.user_id
+  WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
+)
+SELECT user_id, step, change_type, final_value, final_lsn
+FROM step1 UNION ALL
+SELECT user_id, step, change_type, final_value, final_lsn FROM step2
+"""
+
+
+def q_cdc_changefeed_delta(spark, sf_dir):
+    """The O(batch) delta-file fast path of the changefeed consumer
+    (round 6): on a MERGE-ON-READ table, a poll whose range is pure
+    delta appends is served STRAIGHT from the delta files the polled
+    commits added — no resolve of either endpoint version, no base IO.
+    The reader's cursor sits after tail 1; one poll(mode='delta')
+    covers tails 2+3 (two epochs), so the per-key groupBy across the
+    polled delta files is genuinely exercised. The function ASSERTS the
+    fast path served the batch and that its scan inputs are delta files
+    of the polled commits — a fallback would still be correct but would
+    silently drop the property this row certifies. DuckDB twin: per-key
+    arg_max over the same WAL window — upsert rows carry the winning
+    value, deletes carry tombstone shape (NULL value) + the delete's
+    own lsn (the fast path surfaces REAL tombstone ordinals, unlike the
+    net view's pre-images)."""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedReader,
+    )
+
+    runner, versions, wh = _changefeed_scaffold(spark, sf_dir, write_mode="mor")
+    try:
+        reader = ChangefeedReader(
+            runner.table, os.path.join(wh, "cursor")
+        )
+        reader.start(from_version=versions[0])
+        batch = reader.poll(spark, mode="delta", on_ineligible="error")
+        assert batch.fast_path and batch.epochs == 2
+        data_root = os.path.realpath(runner.table.path)
+        for f in batch.df.inputFiles():
+            p = os.path.realpath(f.removeprefix("file:"))
+            assert p.startswith(data_root) and "/c-" in p, p
+        reader.commit(batch)
+        out = batch.df.select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.col("_change_type").alias("change_type"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        out_dir = _result_out_dir("dps_cfr_delta_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_CDC_CHANGEFEED_DELTA = """
+WITH wm AS (SELECT CAST(floor(max(event_id)*5/8) AS BIGINT) AS m1
+            FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events WHERE event_id > (SELECT m1 FROM wm)
+)
+SELECT user_id,
+       CASE WHEN arg_max(op, event_id) = 'd' THEN 'delete'
+            ELSE 'upsert' END AS change_type,
+       round(CASE WHEN arg_max(op, event_id) = 'd' THEN NULL
+                  ELSE arg_max(value, event_id) END, 4) AS final_value,
+       max(event_id) AS final_lsn
+FROM tagged GROUP BY user_id
+"""
+
+
 def q_session_rollup_stream(spark, sf_dir):
     """The WATERMARKED STREAMING session rollup under the correctness
     gate (round 5 — previously the streaming twin was pytest-only).
@@ -2584,6 +2893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_replay_rescale": q_engine_replay_rescale,
         "dead_letter": q_dead_letter,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_changefeed_cursor": q_cdc_changefeed_cursor,
+        "cdc_changefeed_delta": q_cdc_changefeed_delta,
         "stateful_latest": q_stateful_latest,
         "stateful_latest_salted": q_stateful_latest_salted,
         "bucket_assignment": q_bucket_assignment,
@@ -2634,6 +2945,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_replay_rescale": SQL_ENGINE_REPLAY,
         "dead_letter": SQL_DEAD_LETTER,
         "cdc_changefeed": SQL_CDC_CHANGEFEED,
+        "cdc_changefeed_cursor": SQL_CDC_CHANGEFEED_CURSOR,
+        "cdc_changefeed_delta": SQL_CDC_CHANGEFEED_DELTA,
         "stateful_latest": SQL_STATEFUL_LATEST,
         "stateful_latest_salted": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,

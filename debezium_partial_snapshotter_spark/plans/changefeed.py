@@ -1,0 +1,410 @@
+"""Incremental changefeed consumer over a :class:`LakeTable` —
+the streaming/cursor side of the CDC-OUT surface (VERDICT r5 next-3).
+
+``LakeTable.read_changes`` (round 5) is a batch API: the caller tracks
+``from_version`` itself and every call resolves BOTH versions over the
+touched buckets. This module adds what a real downstream consumer needs
+— the reference connector's entire purpose is feeding incremental
+consumers (reference: README.md:9-13, the partial-snapshot signal /
+resume loop in ``PartialSnapshotter.java``):
+
+- :class:`ChangefeedReader` persists its **cursor** (the last fully
+  consumed table version) in its own tiny CAS'd manifest, Kafka-
+  consumer-style: ``poll()`` returns the next batch of changes,
+  ``commit()`` durably advances the cursor only after the consumer has
+  processed it (at-least-once; re-polling an uncommitted batch is safe
+  because the sink apply is idempotent).
+- For the common advance-by-a-few-epochs cadence over a merge-on-read
+  table, ``poll(mode="delta")`` takes the **O(batch) fast path**: the
+  MoR delta files those commits appended already contain exactly the
+  per-key batch winners + delete tombstones, so the feed is read
+  STRAIGHT from the new delta files — no resolve of either endpoint
+  version, no base-file IO at all (pinned by a test that
+  ``LakeTable.read`` is never called and ``inputFiles()`` ⊆ the new
+  delta files). Cost is O(rows changed), vs the net path's O(2 ×
+  changed-bucket resolve).
+
+Two feed semantics, chosen per poll:
+
+- ``mode="net"`` — delegate to ``read_changes``: net
+  ``insert``/``update``/``delete`` per key over the whole range,
+  pre-images for deletes. What an auditing / diff-style consumer wants.
+- ``mode="delta"`` — ``upsert``/``delete`` rows (post-image for
+  upserts; deletes surface the tombstone row as written, which carries
+  the key + ``_lsn`` of the delete and NULL payload unless the source
+  feed populated before-images). Exactly the shape a MERGE-applying
+  consumer needs — Debezium consumers treat c/u interchangeably the
+  same way. Differences vs net, by construction: no insert-vs-update
+  split (it would require reading the pre-range version), and a key
+  inserted AND deleted inside one range still emits its tombstone
+  (at-least-delete; a MERGE applier no-ops it). Applying a delta feed
+  epoch-by-epoch reproduces the upstream table state exactly
+  (``apply_feed``; pinned by tests/test_changefeed_reader.py).
+
+Reading below the expiration horizon raises ``VersionExpiredError`` —
+the consumer re-bootstraps with :meth:`ChangefeedReader.bootstrap`
+(Delta CDF behaves the same once history is vacuumed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from debezium_partial_snapshotter_spark.plans.lake import (
+    LakeTable,
+    _atomic_create,
+)
+
+
+class ConcurrentConsumerError(Exception):
+    """Another consumer instance sharing this cursor directory advanced
+    the cursor between our poll() and commit()."""
+
+
+class IneligibleRangeError(Exception):
+    """mode='delta' with on_ineligible='error': the version range
+    contains a commit that is not a pure delta append (compaction,
+    copy-on-write rewrite, bucket split, ...)."""
+
+
+@dataclass
+class ChangefeedBatch:
+    """One polled batch: ``df`` holds the changes over
+    ``(from_version, to_version]`` in the chosen mode; ``fast_path``
+    records whether the delta-file read served it."""
+
+    df: DataFrame
+    from_version: int
+    to_version: int
+    mode: str
+    fast_path: bool
+    epochs: int
+
+
+class ChangefeedReader:
+    """Cursor-persisted incremental reader over one :class:`LakeTable`.
+
+    The cursor lives in ``cursor_dir`` as a chain of CAS'd JSON files
+    (``c00000001.json`` ...), the same atomic-create protocol as the
+    table's own manifests: two instances sharing a cursor directory
+    race on the sequence number, and the loser gets
+    :class:`ConcurrentConsumerError` instead of double-advancing.
+    100-TB note: the cursor is a single integer — the reader's own
+    metadata is O(polls), never O(table).
+    """
+
+    def __init__(self, table: LakeTable, cursor_dir: str):
+        self.table = table
+        self.cursor_dir = cursor_dir
+        os.makedirs(cursor_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ cursor
+    def _seqs(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.cursor_dir):
+            if f.startswith("c") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _write_seq(self, seq: int, cursor: int) -> bool:
+        tmp = os.path.join(self.cursor_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"cursor": cursor, "ts": time.time()}, fh)
+        return _atomic_create(
+            tmp, os.path.join(self.cursor_dir, f"c{seq:08d}.json")
+        )
+
+    def cursor(self) -> int | None:
+        """Last committed cursor (table version), or None before
+        :meth:`start`."""
+        seqs = self._seqs()
+        if not seqs:
+            return None
+        with open(
+            os.path.join(self.cursor_dir, f"c{seqs[-1]:08d}.json")
+        ) as fh:
+            return json.load(fh)["cursor"]
+
+    def start(self, from_version: int | None = None) -> int:
+        """Initialize the cursor (idempotent). Default: the table's
+        current version — consume changes from now on."""
+        cur = self.cursor()
+        if cur is not None:
+            return cur
+        v = (
+            self.table.current_version()
+            if from_version is None
+            else from_version
+        )
+        self._write_seq(1, v)  # a lost race means another start() won
+        return self.cursor()
+
+    def commit(self, batch: ChangefeedBatch) -> None:
+        """Durably advance the cursor past ``batch``. Call AFTER the
+        batch is fully processed (at-least-once)."""
+        seqs = self._seqs()
+        cur = self.cursor()
+        if cur != batch.from_version:
+            raise ConcurrentConsumerError(
+                f"cursor moved {batch.from_version} -> {cur} since poll()"
+            )
+        if not self._write_seq(seqs[-1] + 1, batch.to_version):
+            raise ConcurrentConsumerError(
+                f"seq {seqs[-1] + 1} already committed in {self.cursor_dir}"
+            )
+
+    # ------------------------------------------------------------- chain
+    def _chain(self, from_v: int, to_v: int) -> list[dict]:
+        """Manifests of (from_v, to_v], ascending. VersionExpiredError
+        propagates when the chain crosses the horizon."""
+        out: list[dict] = []
+        cur = self.table.manifest(to_v)
+        while cur["version"] > from_v:
+            out.append(cur)
+            parent = cur.get("parent")
+            if parent is None:
+                break
+            cur = self.table.manifest(parent)
+        out.reverse()
+        return out
+
+    def _delta_plan(
+        self, from_v: int, chain: list[dict]
+    ) -> list[str] | None:
+        """If every commit in the chain is a pure delta append (or
+        metadata-only), return the list of delta files those commits
+        added — the O(batch) change set. Else None. All inputs are
+        manifests already in hand: no file listing, no data IO."""
+        parent = self.table.manifest(from_v)
+        new_files: list[str] = []
+        for man in chain:
+            if (
+                man.get("buckets") != parent.get("buckets")
+                or man["num_buckets"] != parent["num_buckets"]
+            ):
+                return None  # CoW rewrite / compaction / split in range
+            pd_, cd = parent.get("deltas", {}), man.get("deltas", {})
+            for b, files in cd.items():
+                old = pd_.get(b, [])
+                if files[: len(old)] != old:
+                    return None  # not append-only (compaction rewrote)
+                new_files.extend(
+                    os.path.join(self.table.path, f)
+                    for f in files[len(old):]
+                )
+            parent = man
+        return new_files
+
+    # -------------------------------------------------------------- poll
+    def poll(
+        self,
+        spark: SparkSession,
+        mode: str = "delta",
+        to_version: int | None = None,
+        on_ineligible: str = "net",
+    ) -> ChangefeedBatch:
+        """Read the changes since the cursor. Does NOT advance the
+        cursor — call :meth:`commit` after processing.
+
+        mode='delta' serves the feed from the new delta files when the
+        whole range is pure delta appends; otherwise ``on_ineligible``
+        picks the fallback: 'net' derives the same upsert/delete shape
+        from ``read_changes`` (delete rows are re-ordinaled to the
+        range-end watermark at rank 3 — see the inline comment — and
+        carry NULL payload to match tombstone shape), 'error' raises
+        :class:`IneligibleRangeError` (for consumers that must never
+        pay a resolve)."""
+        if mode not in ("delta", "net"):
+            raise ValueError(f"unknown mode {mode!r}")
+        from_v = self.cursor()
+        if from_v is None:
+            raise RuntimeError("cursor not initialized; call start()")
+        to_v = (
+            self.table.current_version() if to_version is None else to_version
+        )
+        key = self.table.bucket_key
+        sch = self.table.schema(to_v)
+
+        def _batch(df, fast, epochs):
+            return ChangefeedBatch(df, from_v, to_v, mode, fast, epochs)
+
+        if to_v <= from_v:
+            empty = self.table._read_files(spark, [], sch).withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+            return _batch(empty, False, 0)
+
+        if mode == "net":
+            return _batch(
+                self.table.read_changes(spark, from_v, to_v),
+                False,
+                len(self._chain(from_v, to_v)),
+            )
+
+        chain = self._chain(from_v, to_v)
+        files = self._delta_plan(from_v, chain)
+        if files is None:
+            if on_ineligible == "error":
+                raise IneligibleRangeError(
+                    f"({from_v}, {to_v}] contains a non-delta commit"
+                )
+            net = self.table.read_changes(spark, from_v, to_v)
+            # Same upsert/delete shape the fast path produces: deletes
+            # get NULL payload (tombstone shape). The net feed's delete
+            # rows surface the PRE-image's (_lsn, _op_rank) — the real
+            # tombstone ordinal only exists in delta files — and a
+            # downstream apply_feed that already holds that pre-image
+            # row (applied from an earlier poll) would TIE it against
+            # the delete in the MoR resolve and the key would survive
+            # deletion. Re-ordinal deletes to (watermark_lsn at to_v,
+            # rank 3): >= every in-range row's ordinal (in-range deletes
+            # have lsn <= that watermark; rank 3 is the delete/top
+            # rank), < every later commit's (whose rows pass the
+            # lsn > watermark filter), so MERGE-applying the fallback
+            # batch is exactly as correct as the fast path.
+            wm = self.table.manifest(to_v).get("watermark_lsn", -1)
+            is_del = F.col("_change_type") == "delete"
+            cols = []
+            for f in sch.fields:
+                c = F.col(f.name)
+                if f.name == key:
+                    pass
+                elif f.name == "_lsn":
+                    c = F.when(
+                        is_del, F.greatest(c, F.lit(wm))
+                    ).otherwise(c)
+                elif f.name == "_op_rank":
+                    c = F.when(is_del, F.lit(3)).otherwise(c)
+                else:
+                    c = F.when(
+                        is_del, F.lit(None).cast(f.dataType)
+                    ).otherwise(c)
+                cols.append(c.alias(f.name))
+            df = net.select(
+                *cols,
+                F.when(is_del, F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("_change_type"),
+            )
+            return _batch(df, False, len(chain))
+
+        if not files:
+            empty = self.table._read_files(spark, [], sch).withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+            return _batch(empty, True, len(chain))
+
+        delta_schema = StructType(
+            list(sch.fields)
+            + [StructField("_is_delete", BooleanType(), False)]
+        )
+        deltas = self.table._read_files(spark, files, delta_schema)
+        # winner per key across the polled epochs: same primitive-max +
+        # SHUFFLE_HASH join-back as the MoR resolve (sort-free; rows are
+        # tie-free across commits by construction — see _resolve_mor's
+        # proof). One groupBy over O(batch) rows; single-epoch polls
+        # reduce to a pass-through since apply already wrote one winner
+        # per key.
+        allc = deltas.withColumn(
+            "_mord", F.col("_lsn") * 4 + F.col("_op_rank")
+        )
+        maxes = allc.groupBy(key).agg(F.max("_mord").alias("_mmx"))
+        resolved = (
+            allc.join(maxes.hint("SHUFFLE_HASH"), key)
+            .where(F.col("_mord") == F.col("_mmx"))
+            .drop("_mord", "_mmx")
+        )
+        df = resolved.select(
+            *[f.name for f in sch.fields],
+            F.when(F.col("_is_delete"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+        )
+        return _batch(df, True, len(chain))
+
+    # --------------------------------------------------------- bootstrap
+    def bootstrap(self, spark: SparkSession) -> ChangefeedBatch:
+        """Full-table re-bootstrap after the cursor fell below the
+        expiration horizon: every live row as an ``upsert`` at the
+        current version. Commit the returned batch to land the cursor
+        there. (The pre-bootstrap cursor is intentionally ignored — its
+        history is gone.)"""
+        to_v = self.table.current_version()
+        df = self.table.read(spark, version=to_v).withColumn(
+            "_change_type", F.lit("upsert")
+        )
+        from_v = self.cursor()
+        return ChangefeedBatch(
+            df, from_v if from_v is not None else -1, to_v, "delta", False, 0
+        )
+
+    def commit_bootstrap(self, batch: ChangefeedBatch) -> None:
+        """Land the cursor at the bootstrap version regardless of where
+        the (expired) old cursor pointed."""
+        seqs = self._seqs()
+        if not self._write_seq(
+            (seqs[-1] + 1) if seqs else 1, batch.to_version
+        ):
+            raise ConcurrentConsumerError(
+                f"bootstrap commit lost a race in {self.cursor_dir}"
+            )
+
+
+def apply_feed(
+    table: LakeTable,
+    feed: DataFrame,
+    commit_key: str | None = None,
+) -> bool | str:
+    """MERGE-apply an upsert/delete feed batch (the delta-mode shape)
+    into a downstream :class:`LakeTable` with the same key — the
+    downstream half of the incremental-consumer story: polling with
+    ``mode='delta'`` and applying each batch here reproduces the
+    upstream table state exactly, commit-keyed for exactly-once under
+    redelivery.
+
+    The feed rows are already per-key winners carrying ``(_lsn,
+    _op_rank)``, so this is the tail of ``apply_batch``: (re-resolve per
+    key — a no-op for a single poll, safety for unions of polls), route
+    by the downstream bucket function, append as MoR deltas. The
+    downstream reader's resolve handles cross-batch ordering exactly
+    like the upstream's."""
+    key = table.bucket_key
+    nb, bexpr, layout = table.bucket_plan(F.col(key))
+    sch = table.schema()
+    winners = feed.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in feed.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in sch.fields
+        ],
+        (F.col("_change_type") == "delete").alias("_is_delete"),
+    ).withColumn("_mord", F.col("_lsn") * 4 + F.col("_op_rank"))
+    maxes = winners.groupBy(key).agg(F.max("_mord").alias("_mmx"))
+    winners = (
+        winners.join(maxes.hint("SHUFFLE_HASH"), key)
+        .where(F.col("_mord") == F.col("_mmx"))
+        .drop("_mord", "_mmx")
+        .withColumn("_bucket", bexpr)
+    )
+    affected = sorted(
+        int(r["_bucket"])
+        for r in winners.select("_bucket").distinct().collect()
+    )
+    if not affected:
+        return False
+    return table.append_deltas(
+        winners,
+        affected_buckets=affected,
+        commit_key=commit_key,
+        expected_num_buckets=nb,
+        expected_layout=layout,
+    )

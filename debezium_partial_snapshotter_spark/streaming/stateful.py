@@ -77,9 +77,11 @@ def latest_events_stateful(
     State stays 8 bytes per (key, salt): total state = n_salt x keys,
     still payload-width-free. STATE LIFETIME: entries live for the
     query's lifetime (NoTimeout) — at 10^10 keys that is ~80 GB of
-    state store, so bound it by ACTIVE keys in production with native
-    state TTL (Spark 4 ``transformWithStateInPandas`` TTLConfig on a
-    RocksDB state store). A GroupStateTimeout-based TTL was built and
+    state store, so bound it by ACTIVE keys in production with
+    :func:`streaming.tws.latest_events_tws` (round 6): the same filter
+    on ``transformWithStateInPandas`` with store-level TTL, runtime-
+    gated here only by the missing ``google.protobuf`` wire dependency
+    (see tws.py's module docstring). A GroupStateTimeout-based TTL was built and
     REJECTED in round 5: ``ProcessingTimeTimeout`` makes the
     availableNow MultiBatchExecutor spin timeout-check batches
     endlessly and deadlocks ``processAllAvailable`` (py4j callback

@@ -60,6 +60,7 @@ from pyspark.sql.types import BooleanType, StructField, StructType
 
 from debezium_partial_snapshotter_spark.plans.lake import (
     LakeTable,
+    VersionExpiredError,
     _atomic_create,
 )
 
@@ -370,15 +371,43 @@ def apply_feed(
     upstream table state exactly, commit-keyed for exactly-once under
     redelivery.
 
+    Upstream SCHEMA EVOLUTION propagates: feed columns the downstream
+    lacks (add-column) or holds narrower (type-widen) evolve the
+    downstream schema transactionally with the data — the same
+    ``merge_schemas`` policy the primary apply path uses. Without this
+    a mirroring consumer would silently DROP every post-evolution
+    column (round 6; pinned by
+    tests/test_changefeed_reader.py::test_mirror_propagates_schema_evolution).
+
     The feed rows are already per-key winners carrying ``(_lsn,
     _op_rank)``, so this is the tail of ``apply_batch``: (re-resolve per
     key — a no-op for a single poll, safety for unions of polls), route
     by the downstream bucket function, append as MoR deltas. The
     downstream reader's resolve handles cross-batch ordering exactly
     like the upstream's."""
+    from debezium_partial_snapshotter_spark.operators.schema_evolution import (
+        merge_schemas,
+        schemas_equal,
+    )
+    from debezium_partial_snapshotter_spark.operators.upsert import (
+        user_schema,
+        with_system,
+    )
+
     key = table.bucket_key
     nb, bexpr, layout = table.bucket_plan(F.col(key))
-    sch = table.schema()
+    cur = table.schema()
+    feed_user = StructType(
+        [
+            f
+            for f in feed.schema.fields
+            if f.name not in ("_change_type", "_is_delete")
+            and f.name not in {sf.name for sf in with_system(StructType([])).fields}
+        ]
+    )
+    merged_user = merge_schemas(user_schema(cur), feed_user)
+    sch = with_system(merged_user)
+    evolved = not schemas_equal(sch, cur)
     winners = feed.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
@@ -405,6 +434,159 @@ def apply_feed(
         winners,
         affected_buckets=affected,
         commit_key=commit_key,
+        new_schema=sch if evolved else None,
         expected_num_buckets=nb,
         expected_layout=layout,
     )
+
+
+class ChangefeedMirror:
+    """Maintains a downstream replica of an upstream :class:`LakeTable`
+    by consuming its changefeed — the full consumer loop packaged:
+    intent-logged poll → idempotent MERGE apply → cursor advance, with
+    automatic full re-bootstrap when the cursor falls below the
+    upstream's expiration horizon. Reference analog: the connector's
+    whole delivery loop exists to keep downstream consumers' replicas
+    current without re-snapshotting (reference README.md:9-13).
+
+    **Crash-safe exactly-once.** The naive loop (poll to the current
+    version, apply, advance cursor) double-applies after a crash
+    between apply and cursor-commit IF the upstream advanced in the
+    interim: the retry would poll a LARGER range under a different
+    commit key, and re-appended winners for already-applied keys would
+    tie at the downstream resolve. ``sync`` therefore writes an
+    **intent record** (from → to) before applying; a restart that finds
+    an intent matching the cursor replays EXACTLY that range, so the
+    apply's commit key ``cf:<from>:<to>`` is byte-identical and the
+    duplicate is suppressed before any file is written. After the
+    cursor advances, the intent is cleared. 100-TB note: mirror state
+    is one integer + one tiny JSON — O(1), never O(table).
+
+    Single writer per ``state_dir``: a second concurrent mirror is
+    detected at cursor-commit (ConcurrentConsumerError), same contract
+    as :class:`ChangefeedReader`."""
+
+    def __init__(
+        self,
+        upstream: LakeTable,
+        downstream: LakeTable,
+        state_dir: str,
+        mode: str = "delta",
+    ):
+        self.reader = ChangefeedReader(
+            upstream, os.path.join(state_dir, "cursor")
+        )
+        self.downstream = downstream
+        self.mode = mode
+        self._intent_path = os.path.join(state_dir, "intent.json")
+
+    # ------------------------------------------------------------ intent
+    def _read_intent(self) -> dict | None:
+        try:
+            with open(self._intent_path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            # a torn intent write means the apply never started for it;
+            # safe to re-plan the range from scratch
+            return None
+
+    def _write_intent(self, from_v: int, to_v: int) -> None:
+        tmp = f"{self._intent_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"from": from_v, "to": to_v}, fh)
+        os.replace(tmp, self._intent_path)
+
+    def _clear_intent(self) -> None:
+        try:
+            os.remove(self._intent_path)
+        except FileNotFoundError:
+            pass
+
+    # -------------------------------------------------------------- sync
+    def sync(self, spark: SparkSession) -> dict:
+        """Advance the mirror by one changefeed batch (everything
+        committed upstream since the cursor, or a crashed sync's
+        pinned range). Returns a stats dict; call in the consumer's
+        poll loop."""
+        cur = self.reader.cursor()
+        if cur is None:
+            cur = self.reader.start(from_version=1)  # mirror from genesis
+        intent = self._read_intent()
+        if intent is not None and intent["from"] == cur:
+            to_v = intent["to"]  # crashed mid-sync: replay THAT range
+        else:
+            to_v = self.reader.table.current_version()
+            self._write_intent(cur, to_v)
+        try:
+            batch = self.reader.poll(
+                spark, mode=self.mode, to_version=to_v
+            )
+        except VersionExpiredError:
+            return self._bootstrap(spark)
+        applied: bool | str = False
+        if batch.to_version > batch.from_version:
+            applied = apply_feed(
+                self.downstream,
+                batch.df,
+                commit_key=f"cf:{batch.from_version}:{batch.to_version}",
+            )
+        self.reader.commit(batch)
+        self._clear_intent()
+        return {
+            "applied": applied,
+            "from_version": batch.from_version,
+            "to_version": batch.to_version,
+            "fast_path": batch.fast_path,
+            "epochs": batch.epochs,
+            "bootstrapped": False,
+        }
+
+    def _bootstrap(self, spark: SparkSession) -> dict:
+        """Cursor below the upstream horizon: replace the downstream
+        wholesale with the current upstream image (an incremental
+        catch-up is impossible — the history is gone — and upserts
+        alone could not remove downstream keys the upstream deleted
+        meanwhile). Schema evolution propagates here too."""
+        from debezium_partial_snapshotter_spark.operators.schema_evolution import (
+            conform,
+            merge_schemas,
+            schemas_equal,
+        )
+        from debezium_partial_snapshotter_spark.operators.upsert import (
+            user_schema,
+            with_system,
+        )
+
+        boot = self.reader.bootstrap(spark)
+        img = boot.df.drop("_change_type")
+        cur = self.downstream.schema()
+        merged = with_system(
+            merge_schemas(
+                user_schema(cur),
+                StructType(
+                    [
+                        f
+                        for f in img.schema.fields
+                        if f.name
+                        not in {
+                            sf.name
+                            for sf in with_system(StructType([])).fields
+                        }
+                    ]
+                ),
+            )
+        )
+        evolved = not schemas_equal(merged, cur)
+        self.downstream.overwrite(
+            conform(img, merged), new_schema=merged if evolved else None
+        )
+        self.reader.commit_bootstrap(boot)
+        self._clear_intent()
+        return {
+            "applied": True,
+            "from_version": boot.from_version,
+            "to_version": boot.to_version,
+            "fast_path": False,
+            "epochs": 0,
+            "bootstrapped": True,
+        }

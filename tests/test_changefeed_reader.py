@@ -271,3 +271,190 @@ def test_bootstrap_after_horizon_expiration(spark, tmp_warehouse):
     assert r.cursor() == table.current_version()
     nxt = r.poll(spark)
     assert nxt.df.count() == 0
+
+
+def _upstream_image(spark, table):
+    return {
+        r["doc_id"]: tuple(r[f] for f in table.schema().fieldNames())
+        for r in table.read(spark).collect()
+    }
+
+
+def _down_image(spark, table):
+    return {
+        r["doc_id"]: tuple(r[f] for f in table.schema().fieldNames())
+        for r in table.read(spark).collect()
+    }
+
+
+def test_mirror_tracks_upstream_and_survives_crash(spark, tmp_warehouse):
+    """ChangefeedMirror end-to-end, including the crash window the
+    intent record exists for: a sync that applied but never advanced
+    the cursor, with the UPSTREAM ADVANCING before the retry. The
+    retry must replay EXACTLY the intent's range (commit-key no-op),
+    then a further sync picks up the new commits — no duplicate rows,
+    downstream byte-equal to upstream."""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+        apply_feed,
+    )
+
+    spec = EventLogSpec(
+        n_docs=80, n_events=900, n_segments=6, seed=13, num_buckets=NB,
+        delete_frac=0.2,
+    )
+    state = generate_initial_state(spec)
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    wal = generate_change_log(spec)
+    segs = [snap] + wal
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, "up"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    dirs = []
+    for i, seg in enumerate(segs):
+        d = os.path.join(tmp_warehouse, f"e{i}")
+        os.makedirs(d)
+        pq.write_table(seg, os.path.join(d, "s.parquet"))
+        dirs.append(d)
+
+    def apply_seg(i):
+        apply_batch(
+            table, load_events(spark, dirs[i]), commit_key=f"p:{i}",
+            write_mode="mor",
+        )
+
+    for i in (0, 1, 2):
+        apply_seg(i)
+    down = empty_table_for(
+        os.path.join(tmp_warehouse, "down"), TOKENS_SCHEMA, num_buckets=3
+    )
+    sdir = os.path.join(tmp_warehouse, "mirror")
+    m = ChangefeedMirror(table, down, sdir)
+    s = m.sync(spark)
+    assert s["applied"] is True and not s["bootstrapped"]
+    assert _down_image(spark, down) == _upstream_image(spark, table)
+    # idle sync is a clean no-op
+    assert m.sync(spark)["applied"] is False
+
+    # upstream advances; a sync CRASHES after apply, before cursor-commit
+    apply_seg(3)
+    cur = m.reader.cursor()
+    to_v = table.current_version()
+    m._write_intent(cur, to_v)
+    crashed = m.reader.poll(spark, mode="delta", to_version=to_v)
+    assert apply_feed(down, crashed.df, commit_key=f"cf:{cur}:{to_v}") is True
+    # ... and the upstream advances AGAIN before the retry
+    apply_seg(4)
+
+    m2 = ChangefeedMirror(table, down, sdir)  # restart
+    s1 = m2.sync(spark)
+    # the retry replayed EXACTLY the intent range; the apply was a
+    # commit-key duplicate, not a second append
+    assert (s1["from_version"], s1["to_version"]) == (cur, to_v)
+    assert s1["applied"] is False
+    s2 = m2.sync(spark)
+    assert s2["applied"] is True and s2["to_version"] == table.current_version()
+    apply_seg(5)
+    m2.sync(spark)
+
+    up_img, down_img = _upstream_image(spark, table), _down_image(spark, down)
+    assert down_img == up_img
+    rows = down.read(spark).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # no dup rows
+
+
+def test_mirror_propagates_schema_evolution(spark, tmp_warehouse):
+    """An upstream add-column + type-widen commit must evolve the
+    DOWNSTREAM schema through the feed; pre-evolution mirror rows read
+    back with NULL in the new column (the engine's standard up-cast)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+    )
+    from debezium_partial_snapshotter_spark.schemas import (
+        CHANGE_EVENT_SCHEMA_V2,
+    )
+
+    table, vs = _build(spark, tmp_warehouse, write_mode="mor")
+    down = empty_table_for(
+        os.path.join(tmp_warehouse, "down"), TOKENS_SCHEMA, num_buckets=2
+    )
+    m = ChangefeedMirror(table, down, os.path.join(tmp_warehouse, "mir"))
+    m.sync(spark)
+
+    v2_rows = [
+        ("u", "evolved-1", 10_000_000, "false", "tokens:0",
+         ("evolved-1", [1, 2], 2, "web", "en")),
+        ("u", "evolved-2", 10_000_001, "false", "tokens:0",
+         ("evolved-2", [3], 1, "web", "fr")),
+    ]
+    v2 = spark.createDataFrame(v2_rows, CHANGE_EVENT_SCHEMA_V2)
+    st = apply_batch(table, v2, commit_key="v2:1", write_mode="mor")
+    assert st["schema_evolved"]
+
+    s = m.sync(spark)
+    assert s["applied"] is True
+    down_sch = down.schema()
+    assert "lang" in down_sch.fieldNames()
+    assert down_sch["n_tok"].dataType.typeName() == "long"  # widened
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tok"])
+        for r in down.read(spark).collect()
+    }
+    assert got["evolved-1"] == ("en", 2)
+    assert got["evolved-2"] == ("fr", 1)
+    # a pre-evolution key reads back with NULL lang downstream
+    old_key = next(k for k in got if not k.startswith("evolved"))
+    assert got[old_key][0] is None
+    assert _down_image(spark, down) == _upstream_image(spark, table)
+
+
+def test_mirror_bootstraps_after_expiration(spark, tmp_warehouse):
+    """A mirror offline past the upstream's retention horizon cannot
+    catch up incrementally; sync() must fall back to a full-image
+    overwrite — which also REMOVES downstream keys the upstream
+    deleted while the mirror was down (upserts alone could not)."""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+    )
+
+    spec = EventLogSpec(
+        n_docs=60, n_events=700, n_segments=5, seed=29, num_buckets=NB,
+        delete_frac=0.35,
+    )
+    state = generate_initial_state(spec)
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    wal = generate_change_log(spec)
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, "up"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    segs = [snap] + wal
+    dirs = []
+    for i, seg in enumerate(segs):
+        d = os.path.join(tmp_warehouse, f"e{i}")
+        os.makedirs(d)
+        pq.write_table(seg, os.path.join(d, "s.parquet"))
+        dirs.append(d)
+    for i in (0, 1):
+        apply_batch(table, load_events(spark, dirs[i]), commit_key=f"p:{i}")
+    down = empty_table_for(
+        os.path.join(tmp_warehouse, "down"), TOKENS_SCHEMA, num_buckets=2
+    )
+    m = ChangefeedMirror(table, down, os.path.join(tmp_warehouse, "mir"))
+    m.sync(spark)
+    before = set(_down_image(spark, down))
+
+    # mirror goes dark; upstream keeps moving (with deletes) and expires
+    for i in (2, 3, 4):
+        apply_batch(table, load_events(spark, dirs[i]), commit_key=f"p:{i}")
+    table.expire_versions(keep_last=1, min_age_sec=0, orphan_grace_sec=0)
+
+    s = m.sync(spark)
+    assert s["bootstrapped"] is True
+    up_img = _upstream_image(spark, table)
+    assert _down_image(spark, down) == up_img
+    # the fixture genuinely exercised the delete-removal property
+    assert before - set(up_img)
+    # and the mirror keeps tailing normally afterwards
+    assert m.sync(spark)["applied"] is False

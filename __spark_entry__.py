@@ -2242,114 +2242,18 @@ def q_cdc_changefeed(spark, sf_dir):
     ``LakeTable.read_changes`` — the Delta-CDF / Iceberg-changelog
     analog a downstream incremental consumer reads instead of
     re-scanning the table. Run the engine replay (snapshot at W plus
-    two WAL tails), capture the version after the FIRST tail, and
-    return the net row-level change feed from that version to the
-    final one: inserts (keys born in tail 2), updates (keys whose
-    winning (_lsn, _op_rank) advanced), deletes (keys whose final op
-    in tail 2 was 'd' — surfaced with their PRE-image). The DuckDB
-    twin diffs the two declarative upsert images at the same
+    two WAL tails via the shared scaffold), capture the version after
+    the FIRST tail, and return the net row-level change feed from that
+    version to the final one: inserts (keys born in tail 2), updates
+    (keys whose winning (_lsn, _op_rank) advanced), deletes (keys whose
+    final op in tail 2 was 'd' — surfaced with their PRE-image). The
+    DuckDB twin diffs the two declarative upsert images at the same
     watermarks."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
+    runner, versions, wh = _changefeed_scaffold(
+        spark, sf_dir, tail_fracs=((3, 4),)
     )
-
-    from debezium_partial_snapshotter_spark.config import PipelineConfig
-    from debezium_partial_snapshotter_spark.functions import table_partition
-    from debezium_partial_snapshotter_spark.sources.readers import ParquetWalSource
-    from debezium_partial_snapshotter_spark.streaming.runner import (
-        PartialIngestRunner,
-    )
-
-    payload = StructType(
-        [
-            StructField("doc_id", StringType(), False),
-            StructField("value", DoubleType(), True),
-        ]
-    )
-    event_schema = StructType(
-        [
-            StructField("op", StringType(), False),
-            StructField("doc_id", StringType(), False),
-            StructField("lsn", LongType(), False),
-            StructField("snapshot", StringType(), True),
-            StructField("table_partition", StringType(), False),
-            StructField("after", payload, True),
-        ]
-    )
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
-    )
-    bounds = ev.agg(
-        F.floor(F.max("event_id") / 2).cast("long").alias("w"),
-        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m"),
-    ).collect()[0]
-    w, mid = bounds["w"], bounds["m"]
-
-    nb = 8
-    wh = tempfile.mkdtemp(prefix="dps_changefeed_")
     try:
-        state = (
-            ev.where(F.col("event_id") <= w)
-            .groupBy("user_id")
-            .agg(F.max_by(F.struct("op", "value"), F.col("event_id")).alias("s"))
-            .where(F.col("s.op") != "d")
-            .select(
-                F.col("user_id").cast("string").alias("doc_id"),
-                F.col("s.value").alias("value"),
-            )
-        )
-        state_path = os.path.join(wh, "state.parquet")
-        state.coalesce(1).write.mode("overwrite").parquet(state_path)
-        log_dir = os.path.join(wh, "wal")
-        os.makedirs(log_dir)
-
-        def write_wal(lo: int, hi: int, name: str) -> None:
-            seg = ev.where(
-                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
-            ).select(
-                "op",
-                F.col("user_id").cast("string").alias("doc_id"),
-                F.col("event_id").cast("long").alias("lsn"),
-                F.lit("false").alias("snapshot"),
-                table_partition(
-                    "tokens", bucket_id(F.col("user_id").cast("string"), nb)
-                ).alias("table_partition"),
-                F.when(F.col("op") == "d", F.lit(None).cast(payload))
-                .otherwise(
-                    F.struct(
-                        F.col("user_id").cast("string").alias("doc_id"),
-                        F.col("value"),
-                    )
-                )
-                .alias("after"),
-            )
-            seg.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(log_dir, name)
-            )
-
-        cfg = PipelineConfig(
-            pipeline_id="changefeed",
-            warehouse=os.path.join(wh, "wh"),
-            num_buckets=nb,
-        )
-        src = ParquetWalSource(
-            spark, state_path, log_dir, num_buckets=nb,
-            event_schema=event_schema,
-        )
-        runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
-        runner.start()
-        write_wal(w, mid, "seg-00001.parquet")
-        runner.tail_batch()
-        v1 = runner.table.current_version()  # the consumer's cursor
-        write_wal(mid, 1 << 60, "seg-00002.parquet")
-        runner.tail_batch()
-
-        out = runner.table.read_changes(spark, v1).select(
+        out = runner.table.read_changes(spark, versions[0]).select(
             F.col("doc_id").cast("long").alias("user_id"),
             F.col("_change_type").alias("change_type"),
             F.round(F.col("value"), 4).alias("final_value"),
@@ -2416,12 +2320,29 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
 """
 
 
-def _changefeed_scaffold(spark, sf_dir, write_mode="cow"):
-    """Shared engine scaffold for the changefeed-consumer rows (round 6):
-    snapshot at W, then THREE WAL tails at watermarks m1 < m2 < end,
-    each applied as one commit; returns (runner, versions-after-each-
-    tail, cleanup-dir). The ChangefeedReader rows consume the resulting
-    version chain in cursor steps."""
+def _changefeed_scaffold(spark, sf_dir, write_mode="cow",
+                         tail_fracs=((5, 8), (3, 4))):
+    """Shared engine scaffold for the changefeed rows: snapshot at W
+    (half the log), then one WAL tail per cut in ``tail_fracs`` (each
+    an exact (numerator, denominator) fraction of max event_id, kept
+    integral so the DuckDB twins share the bounds) plus a final tail
+    to the end — each applied as one commit. Returns (runner,
+    versions-after-each-tail, cleanup-dir). Used by cdc_changefeed
+    (one cut -> two tails) and the ChangefeedReader rows (two cuts ->
+    three tails). A failure anywhere in the build removes the
+    warehouse before re-raising — the CALLER's try/finally only
+    begins after this returns (round-6 second review pass)."""
+    wh = tempfile.mkdtemp(prefix="dps_cfr_")
+    try:
+        return _changefeed_scaffold_build(
+            spark, sf_dir, wh, write_mode, tail_fracs
+        )
+    except BaseException:
+        shutil.rmtree(wh, ignore_errors=True)
+        raise
+
+
+def _changefeed_scaffold_build(spark, sf_dir, wh, write_mode, tail_fracs):
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -2458,13 +2379,19 @@ def _changefeed_scaffold(spark, sf_dir, write_mode="cow"):
     )
     bounds = ev.agg(
         F.floor(F.max("event_id") / 2).cast("long").alias("w"),
-        F.floor(F.max("event_id") * 5 / 8).cast("long").alias("m1"),
-        F.floor(F.max("event_id") * 3 / 4).cast("long").alias("m2"),
+        *[
+            F.floor(F.max("event_id") * n / d).cast("long").alias(f"c{i}")
+            for i, (n, d) in enumerate(tail_fracs)
+        ],
     ).collect()[0]
-    w, m1, m2 = bounds["w"], bounds["m1"], bounds["m2"]
+    w = bounds["w"]
+    marks = (
+        [w]
+        + [bounds[f"c{i}"] for i in range(len(tail_fracs))]
+        + [1 << 60]
+    )
 
     nb = 8
-    wh = tempfile.mkdtemp(prefix="dps_cfr_")
     state = (
         ev.where(F.col("event_id") <= w)
         .groupBy("user_id")
@@ -2520,12 +2447,8 @@ def _changefeed_scaffold(spark, sf_dir, write_mode="cow"):
     runner = PartialIngestRunner(spark, cfg, src, payload_schema=payload)
     runner.start()
     versions = []
-    for lo, hi, name in (
-        (w, m1, "seg-00001.parquet"),
-        (m1, m2, "seg-00002.parquet"),
-        (m2, 1 << 60, "seg-00003.parquet"),
-    ):
-        write_wal(lo, hi, name)
+    for i in range(len(marks) - 1):
+        write_wal(marks[i], marks[i + 1], f"seg-{i + 1:05d}.parquet")
         runner.tail_batch()
         versions.append(runner.table.current_version())
     return runner, versions, wh

@@ -151,6 +151,15 @@ class ChangefeedReader:
     def commit(self, batch: ChangefeedBatch) -> None:
         """Durably advance the cursor past ``batch``. Call AFTER the
         batch is fully processed (at-least-once)."""
+        if batch.to_version < batch.from_version:
+            # a rewound cursor would re-deliver already-committed
+            # ranges (and a mirror would re-APPLY them under fresh
+            # commit keys); poll() never builds such a batch — reject a
+            # hand-built one instead of silently moving backwards
+            raise ValueError(
+                f"refusing to rewind cursor {batch.from_version} -> "
+                f"{batch.to_version}"
+            )
         seqs = self._seqs()
         cur = self.cursor()
         if cur != batch.from_version:
@@ -231,13 +240,23 @@ class ChangefeedReader:
         to_v = (
             self.table.current_version() if to_version is None else to_version
         )
+        if to_v <= from_v:
+            # a stale explicit to_version at or below the cursor yields
+            # an EMPTY batch pinned AT the cursor (to = from), so a
+            # subsequent commit() is a no-op advance, never a rewind.
+            # Clamp BEFORE any schema/manifest lookup: resolving the
+            # stale version could raise VersionExpiredError and push
+            # the consumer into a needless full re-bootstrap (if the
+            # CURSOR itself is expired, the schema lookup below raises
+            # on from_v — the correct signal).
+            to_v = from_v
         key = self.table.bucket_key
         sch = self.table.schema(to_v)
 
         def _batch(df, fast, epochs):
             return ChangefeedBatch(df, from_v, to_v, mode, fast, epochs)
 
-        if to_v <= from_v:
+        if to_v == from_v:
             empty = self.table._read_files(spark, [], sch).withColumn(
                 "_change_type", F.lit(None).cast("string")
             )
@@ -384,7 +403,14 @@ def apply_feed(
     key — a no-op for a single poll, safety for unions of polls), route
     by the downstream bucket function, append as MoR deltas. The
     downstream reader's resolve handles cross-batch ordering exactly
-    like the upstream's."""
+    like the upstream's.
+
+    .. warning:: Feed a DELTA-mode batch here, never raw
+       ``mode='net'`` output: a net delete row carries the PRE-image's
+       ``(_lsn, _op_rank)``, which ties the already-applied upsert at
+       the downstream resolve and the key survives deletion. The
+       delta mode's net fallback re-ordinals deletes specifically to
+       stay apply-safe; :class:`ChangefeedMirror` enforces this."""
     from debezium_partial_snapshotter_spark.operators.schema_evolution import (
         merge_schemas,
         schemas_equal,
@@ -424,9 +450,25 @@ def apply_feed(
         .drop("_mord", "_mmx")
         .withColumn("_bucket", bexpr)
     )
+    # Affected buckets come from a NARROW pass over the feed key, not
+    # from `winners`: the resolve keeps >= 1 row per key, so the
+    # winners' bucket set IS the feed keys' bucket set — and collecting
+    # it from `winners` would execute the whole groupBy + join plan a
+    # second time on top of append_deltas' write (round-6 review
+    # finding 7). The key is CAST to the merged-schema type FIRST,
+    # exactly as the winners projection casts it: bucketing hashes the
+    # key's string rendering, so a widening cast (int feed into a
+    # double-keyed table) would otherwise put `affected` and the
+    # written files in different buckets and the manifest's `touched`
+    # list would miss buckets that actually changed (second review
+    # pass).
+    key_type = sch[key].dataType
     affected = sorted(
-        int(r["_bucket"])
-        for r in winners.select("_bucket").distinct().collect()
+        int(r["_b"])
+        for r in feed.select(F.col(key).cast(key_type).alias(key))
+        .select(bexpr.alias("_b"))
+        .distinct()
+        .collect()
     )
     if not affected:
         return False
@@ -454,17 +496,23 @@ class ChangefeedMirror:
     between apply and cursor-commit IF the upstream advanced in the
     interim: the retry would poll a LARGER range under a different
     commit key, and re-appended winners for already-applied keys would
-    tie at the downstream resolve. ``sync`` therefore writes an
-    **intent record** (from → to) before applying; a restart that finds
-    an intent matching the cursor replays EXACTLY that range, so the
-    apply's commit key ``cf:<from>:<to>`` is byte-identical and the
-    duplicate is suppressed before any file is written. After the
-    cursor advances, the intent is cleared. 100-TB note: mirror state
-    is one integer + one tiny JSON — O(1), never O(table).
+    tie at the downstream resolve. ``sync`` therefore CAS-creates an
+    **intent record** (keyed by from-version, carrying the to-version)
+    before applying; a restart that finds the cursor's intent replays
+    EXACTLY that range, so the apply's commit key ``cf:<from>:<to>`` is
+    byte-identical and the duplicate is suppressed before any file is
+    written. After the cursor advances, the intent is cleared. 100-TB
+    note: mirror state is one integer + one tiny JSON — O(1), never
+    O(table).
 
-    Single writer per ``state_dir``: a second concurrent mirror is
-    detected at cursor-commit (ConcurrentConsumerError), same contract
-    as :class:`ChangefeedReader`."""
+    **Concurrent instances.** Two syncs racing from the same cursor
+    converge on one range (the intent CAS: the loser adopts the
+    winner's to-version, so its apply is a commit-key no-op) and the
+    straggler aborts at the pre-apply cursor re-check or at
+    cursor-commit (ConcurrentConsumerError) — no duplicate rows land
+    in any single-overlap race. Sustained multi-writer operation still
+    wants external mutual exclusion, like any consumer group without a
+    broker; see the pre-apply re-check comment in :meth:`sync`."""
 
     def __init__(
         self,
@@ -473,34 +521,81 @@ class ChangefeedMirror:
         state_dir: str,
         mode: str = "delta",
     ):
+        if mode != "delta":
+            # mode='net' feed rows are NOT MERGE-apply-safe: net delete
+            # rows surface the PRE-image's (_lsn, _op_rank), which TIES
+            # the already-applied upsert at the downstream resolve and
+            # the key survives deletion. The delta mode's own net
+            # FALLBACK re-ordinals deletes (poll's inline comment) and
+            # covers every range shape, so the mirror has nothing to
+            # gain from raw net mode — refuse it instead of silently
+            # dropping deletes (round-6 review finding 1).
+            raise ValueError(
+                "ChangefeedMirror requires mode='delta' (its fallback "
+                "already handles non-delta ranges apply-safely); "
+                f"got {mode!r}"
+            )
         self.reader = ChangefeedReader(
             upstream, os.path.join(state_dir, "cursor")
         )
         self.downstream = downstream
         self.mode = mode
-        self._intent_path = os.path.join(state_dir, "intent.json")
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
 
     # ------------------------------------------------------------ intent
-    def _read_intent(self) -> dict | None:
+    # The intent is keyed BY from-version and CAS-created: two syncs
+    # racing from the same cursor converge on the winner's (from, to)
+    # range, so both applies carry the identical commit key and the
+    # loser's is suppressed before any file lands (round-6 review
+    # finding 3). A stale intent (from != cursor) is a finished sync's
+    # leftover — removed on sight.
+    def _intent_path(self, from_v: int) -> str:
+        return os.path.join(self.state_dir, f"intent-{from_v:08d}.json")
+
+    def _read_intent(self, from_v: int) -> dict | None:
         try:
-            with open(self._intent_path) as fh:
+            with open(self._intent_path(from_v)) as fh:
                 return json.load(fh)
         except (FileNotFoundError, json.JSONDecodeError):
             # a torn intent write means the apply never started for it;
             # safe to re-plan the range from scratch
             return None
 
-    def _write_intent(self, from_v: int, to_v: int) -> None:
-        tmp = f"{self._intent_path}.tmp-{uuid.uuid4().hex}"
+    def _cas_intent(self, from_v: int, to_v: int) -> bool:
+        tmp = os.path.join(
+            self.state_dir, f".intent-tmp-{uuid.uuid4().hex}"
+        )
         with open(tmp, "w") as fh:
             json.dump({"from": from_v, "to": to_v}, fh)
-        os.replace(tmp, self._intent_path)
+        return _atomic_create(tmp, self._intent_path(from_v))
 
-    def _clear_intent(self) -> None:
+    def _clear_intent(self, from_v: int) -> None:
+        """Remove ONE intent file — only ever the caller's own, or one
+        provably dead. Clearing indiscriminately would delete a
+        concurrent sync's freshly CAS'd intent for a LATER
+        from-version and re-open the divergent-range double-apply the
+        intent exists to prevent (second review pass)."""
         try:
-            os.remove(self._intent_path)
+            os.remove(self._intent_path(from_v))
         except FileNotFoundError:
             pass
+
+    def _prune_stale_intents(self, cur: int) -> None:
+        """Remove intents whose from-version != the current cursor.
+        Safe: a sync can only act on the intent matching its own
+        cursor read, and any straggler still holding a pruned intent
+        fails its pre-apply cursor re-check (or cursor-commit) before
+        mutating anything."""
+        for f in os.listdir(self.state_dir):
+            if not f.startswith("intent-"):
+                continue
+            try:
+                v = int(f[len("intent-"):-len(".json")])
+            except ValueError:
+                continue
+            if v != cur:
+                self._clear_intent(v)
 
     # -------------------------------------------------------------- sync
     def sync(self, spark: SparkSession) -> dict:
@@ -511,12 +606,32 @@ class ChangefeedMirror:
         cur = self.reader.cursor()
         if cur is None:
             cur = self.reader.start(from_version=1)  # mirror from genesis
-        intent = self._read_intent()
-        if intent is not None and intent["from"] == cur:
+        self._prune_stale_intents(cur)
+        intent = self._read_intent(cur)
+        if intent is not None:
             to_v = intent["to"]  # crashed mid-sync: replay THAT range
         else:
             to_v = self.reader.table.current_version()
-            self._write_intent(cur, to_v)
+            if not self._cas_intent(cur, to_v):
+                # lost the intent race to a concurrent sync from the
+                # same cursor: ADOPT its range so both applies share
+                # one commit key
+                raced = self._read_intent(cur)
+                if raced is not None:
+                    to_v = raced["to"]
+        # last pre-apply gate: a concurrent sync may have finished
+        # (cursor advanced + intent cleared) between our cursor read
+        # and the intent CAS — re-check before mutating the downstream.
+        # (A commit landing INSIDE the apply is still caught by
+        # reader.commit below, after a commit-key-suppressed no-op
+        # apply when ranges matched; sustained multi-writer racing
+        # needs external mutual exclusion, same as any consumer group
+        # without a broker.)
+        if self.reader.cursor() != cur:
+            raise ConcurrentConsumerError(
+                f"cursor moved past {cur} before apply; another mirror "
+                f"instance is active on {self.state_dir}"
+            )
         try:
             batch = self.reader.poll(
                 spark, mode=self.mode, to_version=to_v
@@ -531,7 +646,7 @@ class ChangefeedMirror:
                 commit_key=f"cf:{batch.from_version}:{batch.to_version}",
             )
         self.reader.commit(batch)
-        self._clear_intent()
+        self._clear_intent(cur)
         return {
             "applied": applied,
             "from_version": batch.from_version,
@@ -581,7 +696,8 @@ class ChangefeedMirror:
             conform(img, merged), new_schema=merged if evolved else None
         )
         self.reader.commit_bootstrap(boot)
-        self._clear_intent()
+        if boot.from_version >= 0:
+            self._clear_intent(boot.from_version)
         return {
             "applied": True,
             "from_version": boot.from_version,

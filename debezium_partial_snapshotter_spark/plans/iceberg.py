@@ -551,12 +551,17 @@ class IcebergTable:
         dropped: an audit→publish cycle takes seconds, so an audit
         branch idle longer than the in-flight-reader window is a
         crash leftover, while a live writer's branch (committed just
-        now) survives. This is the form ``expire_versions`` calls on
-        the unattended ingest cadence (round 6, VERDICT r5 item 4); a
-        branch whose head has no readable commit time is treated as
-        young/protected — the same conservative direction as every
-        other unknown clock in the engine. Returns the dropped branch
-        names."""
+        now) survives. Two guards keep the age test honest: a branch
+        whose head has no readable commit time is treated as
+        young/protected (the conservative direction of every unknown
+        clock in the engine), and a branch still sitting AT the
+        current main head is ALWAYS kept — until its first branch
+        commit, a fresh fork's head is the fork-point main snapshot,
+        whose commit time on a quiet table can be hours old, and it
+        pins nothing beyond the head anyway (see the inline comment).
+        This is the form ``expire_versions`` calls on the unattended
+        ingest cadence (round 6, VERDICT r5 item 4). Returns the
+        dropped branch names."""
         # filter in PYTHON, not SQL LIKE: unescaped '_' in a LIKE
         # pattern is a single-char wildcard, so 'dps_audit_%' would
         # also match (and DROP) foreign branches like 'dpsXauditY-keep'
@@ -564,22 +569,67 @@ class IcebergTable:
             f"SELECT name, snapshot_id FROM {self.identifier}.refs "
             "WHERE type = 'BRANCH'"
         ).collect()
+        audit = [r for r in rows if r["name"].startswith("dps_audit_")]
+        head_ms: dict[int, int | None] = {}
+        main_head = None
+        if older_than_ms is not None and audit:
+            # real Iceberg lists 'main' as a BRANCH row in .refs, so it
+            # is usually already in `rows`; fall back to a targeted
+            # lookup for runtimes (and the test fake) that omit it
+            main_head = next(
+                (r["snapshot_id"] for r in rows if r["name"] == "main"),
+                None,
+            )
+            if main_head is None:
+                got = self.spark.sql(
+                    f"SELECT snapshot_id FROM {self.identifier}.refs "
+                    "WHERE name = 'main'"
+                ).collect()
+                main_head = got[0]["snapshot_id"] if got else None
+            # ONE batched snapshots lookup for every audit head — the
+            # per-branch query was an N+1 metadata round-trip on the
+            # ingest cadence (round-6 review finding 8). Ids are ints;
+            # the IN list is driver-built from catalog metadata.
+            ids = sorted(
+                {
+                    int(r["snapshot_id"])
+                    for r in audit
+                    if r["snapshot_id"] is not None
+                }
+            )
+            if ids:
+                in_list = ", ".join(str(i) for i in ids)
+                for r2 in self.spark.sql(
+                    f"SELECT snapshot_id, unix_millis(committed_at) AS ms "
+                    f"FROM {self.identifier}.snapshots "
+                    f"WHERE snapshot_id IN ({in_list})"
+                ).collect():
+                    head_ms[int(r2["snapshot_id"])] = r2["ms"]
         dropped = []
-        for r in rows:
-            if not r["name"].startswith("dps_audit_"):
-                continue
+        for r in audit:
             if older_than_ms is not None:
                 head = r["snapshot_id"]
-                got = (
-                    self.spark.sql(
-                        f"SELECT unix_millis(committed_at) AS ms "
-                        f"FROM {self.identifier}.snapshots "
-                        f"WHERE snapshot_id = {int(head)}"
-                    ).collect()
-                    if head is not None
-                    else []
+                if (
+                    head is not None
+                    and main_head is not None
+                    and int(head) == int(main_head)
+                ):
+                    # Between CREATE BRANCH and the branch's first
+                    # commit, the head IS the fork-point main snapshot
+                    # — whose commit time can be hours old on a quiet
+                    # table, so the age test alone would drop a LIVE
+                    # writer's branch mid-write (round-6 review
+                    # finding 2). A branch still AT the current main
+                    # head pins nothing beyond the head itself, so
+                    # keeping it is free; once main moves on, a
+                    # still-stale branch is dropped — and by then any
+                    # live writer's publish was already bound for the
+                    # retry path by that same main advance
+                    # (fast-forward fails when main moved since fork).
+                    continue
+                ms = (
+                    head_ms.get(int(head)) if head is not None else None
                 )
-                ms = got[0]["ms"] if got else None
                 if ms is None or ms >= older_than_ms:
                     continue  # young or unknown clock: possibly live
             # backtick-quote: foreign look-alike branches may carry

@@ -1125,6 +1125,12 @@ class LakeTable:
            grace, their manifests prove they are not in-flight).
            Crash between 1 and 2 just leaves garbage for the
            next run: deletion is idempotent and never reader-visible.
+           WITHIN phase 2 the order is load-bearing: expired
+           manifests are read, their exclusive files reaped, and the
+           manifests unlinked LAST — unlinking first would turn a
+           mid-phase crash into a permanent leak on the routine path
+           (the reclamation set is derived from exactly those
+           manifests; round-6 review finding).
 
         Exactly-once is untouched BY CONSTRUCTION: ``commit_keys`` /
         ``pinned_keys`` ride the CURRENT manifest (copied forward on
@@ -1234,24 +1240,35 @@ class LakeTable:
 
         expired = 0
         bytes_deleted = 0
-        # each expired manifest is READ before it is unlinked: its file
+        # Each expired manifest is READ (not yet unlinked): its file
         # list IS the routine reclamation set (metadata in hand — no
-        # listing of the data directory)
+        # listing of the data directory). The manifests themselves are
+        # unlinked ONLY AFTER their exclusive files are reaped: the
+        # reverse order (round-6 review finding 5) permanently leaked
+        # a crash window's files on the routine path — once the
+        # manifests were gone, no retained metadata referenced them
+        # and only the sweep_orphans walk could ever find them again.
+        # With reap-first, a crash mid-phase-2 leaves sub-horizon
+        # manifests for the next expiring sweep to re-process
+        # (idempotent), and deletion stays never-reader-visible: the
+        # horizon committed in phase 1, so those versions are already
+        # outside the readable contract.
         expired_refs: set[str] = set()
+        expired_paths: list[str] = []
         for v in versions:
             if v >= horizon:
                 continue
-            p = os.path.join(self.manifest_dir, f"v{v:08d}.json")
             try:
                 expired_refs |= _refs(self.manifest(v))
-                sz = os.path.getsize(p)
-                os.unlink(p)
-                expired += 1
-                bytes_deleted += sz
+                expired_paths.append(
+                    os.path.join(self.manifest_dir, f"v{v:08d}.json")
+                )
             except FileNotFoundError:
                 pass
         live: set[str] = set()
         for v in self._versions():
+            if v < horizon:
+                continue  # still on disk until the unlink pass below
             try:
                 live |= _refs(self.manifest(v))
             except FileNotFoundError:
@@ -1295,6 +1312,16 @@ class LakeTable:
             crc = os.path.join(d, f".{name}.crc")
             if os.path.exists(crc):
                 _reap(crc)
+        # expired manifests go LAST (see the reap-first note above): a
+        # crash anywhere earlier re-expires them on the next sweep
+        for p in expired_paths:
+            try:
+                sz = os.path.getsize(p)
+                os.unlink(p)
+                expired += 1
+                bytes_deleted += sz
+            except FileNotFoundError:
+                pass
         # prune emptied dirs + commit-level markers, bottom-up, ONLY
         # along the dirs we actually deleted from — a live commit dir
         # (subtree still referenced) keeps its _SUCCESS

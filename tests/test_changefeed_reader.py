@@ -340,7 +340,7 @@ def test_mirror_tracks_upstream_and_survives_crash(spark, tmp_warehouse):
     apply_seg(3)
     cur = m.reader.cursor()
     to_v = table.current_version()
-    m._write_intent(cur, to_v)
+    assert m._cas_intent(cur, to_v)
     crashed = m.reader.poll(spark, mode="delta", to_version=to_v)
     assert apply_feed(down, crashed.df, commit_key=f"cf:{cur}:{to_v}") is True
     # ... and the upstream advances AGAIN before the retry
@@ -361,6 +361,42 @@ def test_mirror_tracks_upstream_and_survives_crash(spark, tmp_warehouse):
     assert down_img == up_img
     rows = down.read(spark).collect()
     assert len(rows) == len({r["doc_id"] for r in rows})  # no dup rows
+
+
+def test_mirror_refuses_net_mode(tmp_warehouse):
+    """mode='net' feed rows are not MERGE-apply-safe (pre-image delete
+    ordinals tie at the downstream resolve); the mirror must refuse up
+    front rather than silently lose deletes (round-6 review)."""
+    import pytest as _pytest
+
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+    )
+
+    with _pytest.raises(ValueError, match="delta"):
+        ChangefeedMirror(None, None, os.path.join(tmp_warehouse, "m"),
+                         mode="net")
+
+
+def test_commit_refuses_cursor_rewind(spark, tmp_warehouse):
+    """A hand-built batch whose to_version precedes from_version must
+    be rejected (a rewound cursor re-delivers committed ranges), and a
+    poll with a stale explicit to_version yields an empty batch pinned
+    AT the cursor instead of one that would rewind it."""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedBatch,
+    )
+
+    table, vs = _build(spark, tmp_warehouse)
+    r = ChangefeedReader(table, os.path.join(tmp_warehouse, "c"))
+    r.start(from_version=vs[3])
+    stale = r.poll(spark, mode="net", to_version=vs[1])
+    assert stale.df.count() == 0
+    assert (stale.from_version, stale.to_version) == (vs[3], vs[3])
+    r.commit(stale)
+    assert r.cursor() == vs[3]  # pinned, not rewound
+    with pytest.raises(ValueError, match="rewind"):
+        r.commit(ChangefeedBatch(stale.df, vs[3], vs[1], "net", False, 0))
 
 
 def test_mirror_propagates_schema_evolution(spark, tmp_warehouse):

@@ -197,6 +197,29 @@ class FakeSpark:
             return FakeResult(
                 [FakeRow(ms=s.get("ts_ms", 0)) for s in self.main]
             )
+        if ".snapshots" in q and "unix_millis" in q and "snapshot_id IN" in q:
+            # BATCHED head-commit-time lookup for the staleness-filtered
+            # audit branch GC (round 6: one query for all heads, not
+            # N+1); a snapshot absent from the listing (or without
+            # ts_ms) is simply missing from the result -> the adapter
+            # must protect it
+            wanted = {
+                int(x)
+                for x in q.rsplit("IN (", 1)[1].split(")", 1)[0].split(",")
+                if x.strip()
+            }
+            pool = {
+                s["id"]: s
+                for s in list(self.all_snaps)
+                + [s for br in self.branches.values() for s in br["snaps"]]
+            }
+            return FakeResult(
+                [
+                    FakeRow(snapshot_id=i, ms=pool[i].get("ts_ms"))
+                    for i in wanted
+                    if i in pool
+                ]
+            )
         if ".snapshots" in q and "unix_millis" in q and "snapshot_id =" in q:
             # head-commit-time lookup for the staleness-filtered audit
             # branch GC; a snapshot absent from the listing (or without
@@ -836,6 +859,11 @@ def test_expire_self_gcs_stale_audit_branches_not_live_ones(fake):
     fake.branches["dps_audit_live"] = live
     # head snapshot id 99 exists nowhere: unknown clock -> protected
     fake.branches["dps_audit_unknown"] = {"base": 99, "snaps": []}
+    # the quiet-table fork window (round-6 review finding 2): a writer
+    # just forked at the CURRENT head (snap 4, committed hours ago) and
+    # has not written its branch commit yet — head-age alone says
+    # stale, but a branch AT the main head must always survive
+    fake.branches["dps_audit_at_head"] = {"base": 4, "snaps": []}
     fake.all_snaps = list(fake.main) + stale["snaps"] + live["snaps"]
 
     out = t.expire_versions(keep_last=1, min_age_sec=3600)
@@ -843,6 +871,7 @@ def test_expire_self_gcs_stale_audit_branches_not_live_ones(fake):
     assert "dps_audit_crashed" not in fake.branches
     assert "dps_audit_live" in fake.branches
     assert "dps_audit_unknown" in fake.branches
+    assert "dps_audit_at_head" in fake.branches
     ids = {s["id"] for s in fake.all_snaps}
     # the crashed branch no longer pins 2 or 50; the live branch still
     # pins its fork point 3 and its own commit 60; head 4 retained

@@ -2648,6 +2648,91 @@ FROM tagged GROUP BY user_id
 """
 
 
+def q_cdc_mirror(spark, sf_dir):
+    """ChangefeedMirror under the correctness gate (round 6): a
+    downstream replica is built PURELY by consuming the upstream's
+    changefeed — one sync() from genesis covers the snapshot commits
+    plus both WAL tails over the delta-file fast path, MERGE-applies
+    them into a separately-bucketed downstream LakeTable, and advances
+    the cursor. The row returns the DOWNSTREAM image; the DuckDB twin
+    computes the upstream's declarative final image — equality IS the
+    mirror contract. The function asserts the sync took the fast path
+    and that an idle follow-up sync applies nothing."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from debezium_partial_snapshotter_spark.operators.upsert import (
+        empty_table_for,
+    )
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+    )
+
+    runner, versions, wh = _changefeed_scaffold(
+        spark, sf_dir, write_mode="mor"
+    )
+    try:
+        payload = StructType(
+            [
+                StructField("doc_id", StringType(), False),
+                StructField("value", DoubleType(), True),
+            ]
+        )
+        down = empty_table_for(
+            os.path.join(wh, "down"), payload, num_buckets=4
+        )
+        mirror = ChangefeedMirror(
+            runner.table, down, os.path.join(wh, "mirror")
+        )
+        s = mirror.sync(spark)
+        assert s["applied"] is True and not s["bootstrapped"]
+        assert s["fast_path"], "genesis sync must ride the delta fast path"
+        assert mirror.sync(spark)["applied"] is False  # idle no-op
+        out = down.read(spark).select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.round(F.col("value"), 4).alias("final_value"),
+            F.col("_lsn").alias("final_lsn"),
+        )
+        out_dir = _result_out_dir("dps_cfr_mirror_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_CDC_MIRROR = """
+WITH wm AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) AS w FROM events),
+tagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+state AS (
+  SELECT user_id, arg_max(value, event_id) AS value
+  FROM tagged WHERE event_id <= (SELECT w FROM wm)
+  GROUP BY user_id
+  HAVING arg_max(op, event_id) <> 'd'
+),
+post AS (
+  SELECT user_id, arg_max(op, event_id) AS op,
+         arg_max(value, event_id) AS value, max(event_id) AS lsn
+  FROM tagged WHERE event_id > (SELECT w FROM wm)
+  GROUP BY user_id
+)
+SELECT coalesce(p.user_id, s.user_id) AS user_id,
+       round(CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE s.value END, 4)
+         AS final_value,
+       CASE WHEN p.user_id IS NOT NULL THEN p.lsn ELSE CAST(0 AS BIGINT) END
+         AS final_lsn
+FROM post p FULL OUTER JOIN state s ON p.user_id = s.user_id
+WHERE NOT (p.user_id IS NOT NULL AND p.op = 'd')
+"""
+
+
 def q_session_rollup_stream(spark, sf_dir):
     """The WATERMARKED STREAMING session rollup under the correctness
     gate (round 5 — previously the streaming twin was pytest-only).
@@ -2818,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_changefeed_cursor": q_cdc_changefeed_cursor,
         "cdc_changefeed_delta": q_cdc_changefeed_delta,
+        "cdc_mirror": q_cdc_mirror,
         "stateful_latest": q_stateful_latest,
         "stateful_latest_salted": q_stateful_latest_salted,
         "bucket_assignment": q_bucket_assignment,
@@ -2870,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": SQL_CDC_CHANGEFEED,
         "cdc_changefeed_cursor": SQL_CDC_CHANGEFEED_CURSOR,
         "cdc_changefeed_delta": SQL_CDC_CHANGEFEED_DELTA,
+        "cdc_mirror": SQL_CDC_MIRROR,
         "stateful_latest": SQL_STATEFUL_LATEST,
         "stateful_latest_salted": SQL_STATEFUL_LATEST,
         "bucket_assignment": SQL_BUCKET_ASSIGNMENT,

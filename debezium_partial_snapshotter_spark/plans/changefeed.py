@@ -196,11 +196,29 @@ class ChangefeedReader:
         parent = self.table.manifest(from_v)
         new_files: list[str] = []
         for man in chain:
+            if man.get("op") == "compact":
+                # Compaction is CONTENT-NEUTRAL: it folds already-
+                # collected delta winners into the base without adding
+                # or removing logical rows, so the feed is unaffected —
+                # skip it instead of bailing to the 2x resolve. The
+                # runner compacts on the ingest cadence
+                # (mor_compact_threshold), so bailing here would cost
+                # most multi-epoch polls the fast path exactly in
+                # production. Pre-compaction delta files already in
+                # `new_files` stay readable: every chain manifest is
+                # >= from_v >= the horizon, so expire retains their
+                # files. Subsequent commits' append-only checks compare
+                # against the post-compaction (folded) delta lists —
+                # `parent` advances. Legacy compaction commits without
+                # the "op" marker (round 6) fail the buckets check
+                # below and fall back, conservatively.
+                parent = man
+                continue
             if (
                 man.get("buckets") != parent.get("buckets")
                 or man["num_buckets"] != parent["num_buckets"]
             ):
-                return None  # CoW rewrite / compaction / split in range
+                return None  # CoW rewrite / split / legacy compaction
             pd_, cd = parent.get("deltas", {}), man.get("deltas", {})
             for b, files in cd.items():
                 old = pd_.get(b, [])

@@ -633,6 +633,7 @@ class LakeTable:
                 **man,
                 "version": man["version"] + 1,
                 "parent": man["version"],
+                "op": "delta",
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": (
                     man["commit_keys"]
@@ -768,6 +769,12 @@ class LakeTable:
                 **man,
                 "version": man["version"] + 1,
                 "parent": man["version"],
+                # the commit-kind marker: copied-forward manifests must
+                # not inherit an ancestor's kind, so every commit site
+                # stamps its own. manifest_update below may override
+                # (compact() stamps "compact", which the changefeed
+                # fast path treats as content-neutral).
+                "op": "replace",
                 "buckets": {**man["buckets"]},
                 "deltas": {**man.get("deltas", {})},
                 "commit_keys": (
@@ -956,6 +963,7 @@ class LakeTable:
                 **man,
                 "version": man["version"] + 1,
                 "parent": man["version"],
+                "op": "rescale-begin",
                 "rescale": {"to": new, "done": []},
                 "touched": [],  # metadata-only: conflicts with no one
                 "ts": time.time(),
@@ -1069,7 +1077,11 @@ class LakeTable:
         # concurrent delta commit makes this raise instead of being
         # silently dropped; callers re-run compaction.
         applied = self.replace_buckets(
-            df, targets, commit_key=commit_key, expected_version=base_version
+            df, targets, commit_key=commit_key, expected_version=base_version,
+            # content-neutral marker: compaction folds existing winners
+            # into the base without changing logical content, so the
+            # changefeed delta fast path may skip this commit
+            manifest_update={"op": "compact"},
         )
         return {"compacted_buckets": targets, "applied": applied}
 
@@ -1216,6 +1228,7 @@ class LakeTable:
                 **man,
                 "version": cur_v + 1,
                 "parent": cur_v,
+                "op": "expire",
                 "min_version": horizon,
                 "touched": [],  # metadata-only: conflicts with no one
                 "ts": time.time(),

@@ -202,11 +202,72 @@ def test_concurrent_consumers_detected(spark, tmp_warehouse):
     assert b3.from_version == vs[-1]
 
 
-def test_compaction_in_range_falls_back_to_net(spark, tmp_warehouse):
+def test_compaction_in_range_stays_on_fast_path(spark, tmp_warehouse):
+    """Round 6: compaction is CONTENT-NEUTRAL (folds winners into the
+    base), so a poll spanning one keeps the delta fast path — the
+    runner compacts on the ingest cadence, so bailing would cost most
+    production polls the O(batch) read. The feed content must be
+    unchanged by the compaction."""
     table, vs = _build(spark, tmp_warehouse, write_mode="mor")
     r = ChangefeedReader(table, os.path.join(tmp_warehouse, "c"))
     r.start(from_version=vs[1])
-    table.compact(spark)  # folds deltas into base: NOT a delta append
+    def rows(df):
+        return {
+            (r2["doc_id"], r2["_lsn"], r2["_op_rank"],
+             r2["_change_type"], r2["n_tok"],
+             tuple(r2["tokens"] or ()))
+            for r2 in df.collect()
+        }
+
+    want = rows(r.poll(spark, mode="delta").df)
+    assert table.compact(spark)["applied"] is True
+    b = r.poll(spark, mode="delta", on_ineligible="error")  # must not raise
+    assert b.fast_path
+    assert rows(b.df) == want
+
+
+def test_legacy_compaction_without_marker_falls_back(
+    spark, tmp_warehouse
+):
+    """A pre-round-6 compaction manifest carries no "op" marker: the
+    eligibility walk must treat it as an opaque rewrite and fall back,
+    conservatively."""
+    import json as _json
+
+    table, vs = _build(spark, tmp_warehouse, write_mode="mor")
+    r = ChangefeedReader(table, os.path.join(tmp_warehouse, "c"))
+    r.start(from_version=vs[1])
+    table.compact(spark)
+    head = table.current_version()
+    p = os.path.join(table.manifest_dir, f"v{head:08d}.json")
+    with open(p) as fh:
+        man = _json.load(fh)
+    assert man.pop("op") == "compact"
+    with open(p, "w") as fh:
+        _json.dump(man, fh)
+    with pytest.raises(IneligibleRangeError):
+        r.poll(spark, mode="delta", on_ineligible="error")
+    assert not r.poll(spark, mode="delta").fast_path
+
+
+def test_cow_commit_in_range_falls_back_to_net(spark, tmp_warehouse):
+    """A copy-on-write apply in the range is a real rewrite (not
+    content-neutral): fall back to the net-derived shape — deletes
+    carry tombstone shape (NULL payload)."""
+    table, vs = _build(spark, tmp_warehouse, write_mode="mor")
+    r = ChangefeedReader(table, os.path.join(tmp_warehouse, "c"))
+    r.start(from_version=vs[1])
+    # one more WAL-style batch applied CoW: rewrites buckets in place
+    d = os.path.join(tmp_warehouse, "cow-extra")
+    os.makedirs(d)
+    spec2 = EventLogSpec(
+        n_docs=80, n_events=120, n_segments=1, seed=99, num_buckets=NB,
+        delete_frac=0.3, start_lsn=5_000_000,
+    )
+    seg = generate_change_log(spec2)[0]
+    pq.write_table(seg, os.path.join(d, "s.parquet"))
+    apply_batch(table, load_events(spark, d), commit_key="cow:1",
+                write_mode="cow")
     with pytest.raises(IneligibleRangeError):
         r.poll(spark, mode="delta", on_ineligible="error")
     b = r.poll(spark, mode="delta")  # default fallback: derive from net
@@ -240,12 +301,31 @@ def test_apply_feed_reproduces_upstream_exactly(spark, tmp_warehouse):
     assert apply_feed(down, b1.df, commit_key="feed:1") is False
     r.commit(b1)
 
-    # a compaction lands upstream: the rest of the feed is net-fallback
+    # a compaction lands upstream: content-neutral, fast path holds
     table.compact(spark)
     b2 = r.poll(spark, mode="delta")
-    assert not b2.fast_path
+    assert b2.fast_path
     assert apply_feed(down, b2.df, commit_key="feed:2") is True
     r.commit(b2)
+
+    # a CoW batch (rewrite, NOT content-neutral) forces the net
+    # fallback — whose re-ordinaled deletes must still BEAT the
+    # pre-image rows the downstream already applied
+    d = os.path.join(tmp_warehouse, "cow-extra")
+    os.makedirs(d)
+    spec2 = EventLogSpec(
+        n_docs=80, n_events=150, n_segments=1, seed=91, num_buckets=NB,
+        delete_frac=0.3, start_lsn=5_000_000,
+    )
+    pq.write_table(
+        generate_change_log(spec2)[0], os.path.join(d, "s.parquet")
+    )
+    apply_batch(table, load_events(spark, d), commit_key="cow:1",
+                write_mode="cow")
+    b3 = r.poll(spark, mode="delta")
+    assert not b3.fast_path
+    assert apply_feed(down, b3.df, commit_key="feed:3") is True
+    r.commit(b3)
 
     up_img = _image(spark, table)
     down_img = {

@@ -600,11 +600,14 @@ class ChangefeedMirror:
             pass
 
     def _prune_stale_intents(self, cur: int) -> None:
-        """Remove intents whose from-version != the current cursor.
-        Safe: a sync can only act on the intent matching its own
-        cursor read, and any straggler still holding a pruned intent
-        fails its pre-apply cursor re-check (or cursor-commit) before
-        mutating anything."""
+        """Remove intents whose from-version is BELOW the current
+        cursor — provably finished: the cursor is monotone, so no sync
+        can ever legitimately act on them again. Intents at or ABOVE
+        the cursor are left alone: an intent for a HIGHER from-version
+        belongs to a concurrent sync whose cursor read is newer than
+        this pruner's — deleting it would strip that sync's crash
+        protection and re-open the divergent-range double-apply
+        (third review pass)."""
         for f in os.listdir(self.state_dir):
             if not f.startswith("intent-"):
                 continue
@@ -612,7 +615,7 @@ class ChangefeedMirror:
                 v = int(f[len("intent-"):-len(".json")])
             except ValueError:
                 continue
-            if v != cur:
+            if v < cur:
                 self._clear_intent(v)
 
     # -------------------------------------------------------------- sync
@@ -625,18 +628,24 @@ class ChangefeedMirror:
         if cur is None:
             cur = self.reader.start(from_version=1)  # mirror from genesis
         self._prune_stale_intents(cur)
-        intent = self._read_intent(cur)
-        if intent is not None:
-            to_v = intent["to"]  # crashed mid-sync: replay THAT range
-        else:
+        # The "intent before apply" invariant: NO apply may start
+        # without a durable intent pinning its exact range. Loop until
+        # we either adopt an existing intent for this cursor or win the
+        # CAS for one — merely losing the CAS and finding the winner's
+        # intent already CLEARED (an idle sync can create, commit at
+        # the same cursor value, and clear in the window) must retry,
+        # not fall through intent-less (third review pass). The loop
+        # terminates: each iteration ends in adopt, CAS-win, or a
+        # cleared-intent retry whose next CAS attempt finds the slot
+        # free.
+        while True:
+            intent = self._read_intent(cur)
+            if intent is not None:
+                to_v = intent["to"]  # crashed mid-sync: replay THAT range
+                break
             to_v = self.reader.table.current_version()
-            if not self._cas_intent(cur, to_v):
-                # lost the intent race to a concurrent sync from the
-                # same cursor: ADOPT its range so both applies share
-                # one commit key
-                raced = self._read_intent(cur)
-                if raced is not None:
-                    to_v = raced["to"]
+            if self._cas_intent(cur, to_v):
+                break
         # last pre-apply gate: a concurrent sync may have finished
         # (cursor advanced + intent cleared) between our cursor read
         # and the intent CAS — re-check before mutating the downstream.

@@ -442,6 +442,17 @@ def test_mirror_tracks_upstream_and_survives_crash(spark, tmp_warehouse):
     rows = down.read(spark).collect()
     assert len(rows) == len({r["doc_id"] for r in rows})  # no dup rows
 
+    # pruning direction (third review pass): an intent BELOW the cursor
+    # is provably finished and removed; one ABOVE belongs to a NEWER
+    # concurrent sync and must survive
+    cur2 = m2.reader.cursor()
+    assert m2._cas_intent(cur2 - 1, cur2)
+    assert m2._cas_intent(cur2 + 7, cur2 + 9)
+    m2._prune_stale_intents(cur2)
+    assert m2._read_intent(cur2 - 1) is None
+    assert m2._read_intent(cur2 + 7) == {"from": cur2 + 7, "to": cur2 + 9}
+    m2._clear_intent(cur2 + 7)
+
 
 def test_mirror_refuses_net_mode(tmp_warehouse):
     """mode='net' feed rows are not MERGE-apply-safe (pre-image delete

@@ -538,6 +538,10 @@ class ChangefeedMirror:
         downstream: LakeTable,
         state_dir: str,
         mode: str = "delta",
+        compact_threshold: int = 24,
+        expire_keep_last: int = 0,
+        expire_min_age_sec: float = 3600.0,
+        expire_every_syncs: int = 8,
     ):
         if mode != "delta":
             # mode='net' feed rows are NOT MERGE-apply-safe: net delete
@@ -559,6 +563,22 @@ class ChangefeedMirror:
         self.downstream = downstream
         self.mode = mode
         self.state_dir = state_dir
+        # Downstream STORAGE HEALTH rides the sync cadence the same way
+        # the ingest runner maintains the primary: every MERGE apply
+        # appends MoR delta files, so an unmaintained replica's read
+        # cost and file count grow with every sync. `compact_threshold`
+        # folds deltas once they reach that many files (0 disables);
+        # `expire_keep_last` > 0 reclaims superseded versions every
+        # `expire_every_syncs` applied syncs, with `expire_min_age_sec`
+        # protecting in-flight readers — same semantics/defaults as
+        # PipelineConfig's knobs. Exactly-once is untouched: commit
+        # keys survive expiration by construction (LakeTable manifest
+        # carry-forward).
+        self.compact_threshold = compact_threshold
+        self.expire_keep_last = expire_keep_last
+        self.expire_min_age_sec = expire_min_age_sec
+        self.expire_every_syncs = expire_every_syncs
+        self._syncs_since_expire = 0
         os.makedirs(state_dir, exist_ok=True)
 
     # ------------------------------------------------------------ intent
@@ -674,7 +694,7 @@ class ChangefeedMirror:
             )
         self.reader.commit(batch)
         self._clear_intent(cur)
-        return {
+        stats = {
             "applied": applied,
             "from_version": batch.from_version,
             "to_version": batch.to_version,
@@ -682,6 +702,30 @@ class ChangefeedMirror:
             "epochs": batch.epochs,
             "bootstrapped": False,
         }
+        if applied is True:
+            stats.update(self._maintain(spark))
+        return stats
+
+    def _maintain(self, spark: SparkSession) -> dict:
+        """Downstream replica maintenance after an applied sync:
+        threshold-triggered delta compaction, then cadence-triggered
+        version expiration (mirrors the runner's primary-table loop)."""
+        out: dict = {}
+        if (
+            self.compact_threshold
+            and self.downstream.delta_stats()["delta_files"]
+            >= self.compact_threshold
+        ):
+            out["compaction"] = self.downstream.compact(spark)
+        if self.expire_keep_last:
+            self._syncs_since_expire += 1
+            if self._syncs_since_expire >= self.expire_every_syncs:
+                self._syncs_since_expire = 0
+                out["expiration"] = self.downstream.expire_versions(
+                    keep_last=self.expire_keep_last,
+                    min_age_sec=self.expire_min_age_sec,
+                )
+        return out
 
     def _bootstrap(self, spark: SparkSession) -> dict:
         """Cursor below the upstream horizon: replace the downstream

@@ -585,3 +585,76 @@ def test_mirror_bootstraps_after_expiration(spark, tmp_warehouse):
     assert before - set(up_img)
     # and the mirror keeps tailing normally afterwards
     assert m.sync(spark)["applied"] is False
+
+
+def test_mirror_maintains_downstream_storage(spark, tmp_warehouse):
+    """Replica storage health rides the sync cadence: MoR deltas the
+    MERGE applies append are compacted past the threshold, superseded
+    versions are expired on the configured cadence (bytes genuinely
+    reclaimed), and neither touches correctness — the mirror stays
+    byte-equal to the upstream and a replayed feed batch is still
+    suppressed by its commit key after expiration."""
+    from debezium_partial_snapshotter_spark.plans.changefeed import (
+        ChangefeedMirror,
+        apply_feed,
+    )
+
+    spec = EventLogSpec(
+        n_docs=60, n_events=900, n_segments=6, seed=37, num_buckets=NB,
+        delete_frac=0.2,
+    )
+    state = generate_initial_state(spec)
+    snap = snapshot_read_events(state, spec.start_lsn, spec)
+    wal = generate_change_log(spec)
+    table = empty_table_for(
+        os.path.join(tmp_warehouse, "up"), TOKENS_SCHEMA, num_buckets=NB
+    )
+    down = empty_table_for(
+        os.path.join(tmp_warehouse, "down"), TOKENS_SCHEMA, num_buckets=2
+    )
+    m = ChangefeedMirror(
+        table, down, os.path.join(tmp_warehouse, "mir"),
+        compact_threshold=2, expire_keep_last=1, expire_min_age_sec=0,
+        expire_every_syncs=2,
+    )
+
+    def du(p):
+        tot = 0
+        for root, _, files in os.walk(p):
+            tot += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return tot
+
+    compactions = expirations = 0
+    last_batch = None
+    for i, seg in enumerate([snap] + wal):
+        d = os.path.join(tmp_warehouse, f"e{i}")
+        os.makedirs(d)
+        pq.write_table(seg, os.path.join(d, "s.parquet"))
+        apply_batch(
+            table, load_events(spark, d), commit_key=f"p:{i}",
+            write_mode="mor",
+        )
+        before = du(down.path)
+        last_batch = m.reader.cursor(), table.current_version()
+        s = m.sync(spark)
+        assert s["applied"] is True
+        if "compaction" in s:
+            compactions += 1
+            assert s["compaction"]["applied"] is True
+        if "expiration" in s:
+            expirations += 1
+            assert s["expiration"]["applied"] is True
+            if s["expiration"]["files_deleted"]:
+                assert du(down.path) < before
+    assert compactions >= 1 and expirations >= 1
+    # replica still byte-equal to the upstream after maintenance
+    assert _down_image(spark, down) == _upstream_image(spark, table)
+    # exactly-once survives expiration: replaying the LAST feed batch
+    # under its original commit key is still a no-op
+    frm, to = last_batch
+    replay = ChangefeedReader(
+        table, os.path.join(tmp_warehouse, "replay_cursor")
+    )
+    replay.start(from_version=frm)
+    rb = replay.poll(spark, mode="delta", to_version=to)
+    assert apply_feed(down, rb.df, commit_key=f"cf:{frm}:{to}") is False

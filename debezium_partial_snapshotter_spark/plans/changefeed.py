@@ -72,8 +72,10 @@ class ConcurrentConsumerError(Exception):
 
 class IneligibleRangeError(Exception):
     """mode='delta' with on_ineligible='error': the version range
-    contains a commit that is not a pure delta append (compaction,
-    copy-on-write rewrite, bucket split, ...)."""
+    contains a commit that is neither a pure delta append nor
+    content-neutral (a copy-on-write rewrite, a bucket split, or a
+    LEGACY pre-marker compaction; marked compactions are skipped —
+    see ``_delta_plan``)."""
 
 
 @dataclass

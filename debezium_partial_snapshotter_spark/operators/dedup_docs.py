@@ -23,6 +23,48 @@ def _words(col):
     return F.split(F.trim(F.lower(col)), WORD_SPLIT)
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Scale-adaptive parallelism for explicit repartitions: the
+    session's shuffle-partition count (sized to the cluster by the
+    caller/conf), never a constant."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition by the upcoming self-join key with an EXPLICIT
+    partition count so AQE's small-input coalescing cannot collapse the
+    join to one task.
+
+    Why: LSH candidate generation is an exploding self-join — the input
+    (one row per distinct signature/band) is tiny, but the join output
+    is O(sum of bucket-size^2). AQE coalesces post-shuffle partitions
+    by INPUT size, so on a dedup-heavy corpus the whole explosion lands
+    in a single task (measured: 12s single-task stage at sf0.1, the
+    bench's top cost). An explicit-count repartition has shuffle origin
+    REPARTITION_BY_NUM, which AQE's CoalesceShufflePartitions leaves
+    alone, and it satisfies the join's ClusteredDistribution, so the
+    expansion runs with full parallelism at every scale. The count
+    tracks spark.sql.shuffle.partitions — no local-mode constant."""
+    return df.repartition(_shuffle_partitions(df), *cols)
+
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a NARROW scan before heavy per-row compute
+    (md5-per-shingle pipelines). Parquet cannot split below a row
+    group, so a small input arrives as one task and the whole hashing
+    stage runs serially (measured: 2.3s single-task minhash stage at
+    sf0.1). The repartition is conditional on the scan's actual split
+    count: inputs that already scan with >= the configured shuffle
+    parallelism — i.e. anything at real scale — pass through untouched,
+    so no corpus-sized shuffle is ever added (guide §2.5 input skew:
+    "one huge unsplittable file ... repartition immediately after the
+    read")."""
+    p = _shuffle_partitions(df)
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: canonical = min(doc_id) per hash.
     One hash-groupBy shuffle; the canonical-id broadcast join back is a
@@ -95,11 +137,10 @@ def _mh_col(shingle_col, s: int):
     )
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str = "text", k: int = 8, shingle_n: int = 3
+def _sig_wide(
+    df: DataFrame, text_col: str, k: int, shingle_n: int
 ) -> DataFrame:
-    """k-permutation MinHash: sig_s = min over shingles of the 60-bit
-    md5-derived hash of (shingle, s).
+    """Wide k-permutation MinHash signature: (doc_id, h0..h{k-1}).
 
     Plan: explode once (the shingle array is built exactly once per doc
     — building it inside per-seed lambdas defeats codegen subexpression
@@ -107,16 +148,25 @@ def minhash_signatures(
     per shingle row, then ONE partial-aggregating groupBy: min is
     algebraic, so the shuffle carries only k BIGINTs per doc per map
     partition regardless of document length."""
-    sh = df.select(
+    sh = _spread_input(df).select(
         "doc_id", F.explode(_shingle_arr(text_col, shingle_n)).alias("shingle")
     )
     hashed = sh.select(
         "doc_id",
         *[_mh_col(F.col("shingle"), s).alias(f"h{s}") for s in range(k)],
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(k)]
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash: sig_s = min over shingles of the 60-bit
+    md5-derived hash of (shingle, s). See ``_sig_wide`` for the plan;
+    this is its row-per-seed view."""
+    sig = _sig_wide(df, text_col, k, shingle_n)
     return sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"h{s}") for s in range(k)])).alias(
@@ -125,29 +175,85 @@ def minhash_signatures(
     )  # (doc_id, seed, mh:long)
 
 
-def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """(doc_id, band, bh) from a (doc_id, seed, mh) signature. With one
-    signature row per band the band hash IS the minhash value (no extra
-    hashing, primitive equi-join key); otherwise the band's sorted
-    values are md5-combined and truncated to the same 60-bit BIGINT."""
+def _bh_arr_col(k: int, bands: int):
+    """Band-hash ARRAY (bands elements) from the wide signature columns
+    h0..h{k-1} — entirely row-local (the pre-round-7 ``_banded`` paid a
+    second groupBy to combine signature rows back into bands). With one
+    signature value per band the band hash IS the minhash value (no
+    extra hashing, primitive equi-join key); otherwise the band's
+    sorted values are md5-combined and truncated to the same 60-bit
+    BIGINT, byte-identical to the former row formulation (sort_array
+    over the same elements)."""
     rows_per_band = k // bands
     if rows_per_band == 1:
-        return sig.select(
-            "doc_id", F.col("seed").alias("band"), F.col("mh").alias("bh")
+        return F.array(*[F.col(f"h{s}") for s in range(k)])
+    cols = []
+    for b in range(bands):
+        grp = F.array(
+            *[F.col(f"h{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
         )
-    combined = F.concat_ws(
-        "|",
-        F.transform(
-            F.sort_array(F.collect_list("mh")), lambda x: x.cast("string")
+        combined = F.concat_ws(
+            "|", F.transform(F.sort_array(grp), lambda x: x.cast("string"))
+        )
+        cols.append(
+            F.conv(F.substring(F.md5(combined), 1, 15), 16, 10).cast("long")
+        )
+    return F.array(*cols)
+
+
+def _min_band_pairs(sigw: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH candidate pairs (doc_a, doc_b), DISTINCT BY CONSTRUCTION.
+
+    A pair colliding in several bands used to be emitted once per band
+    and deduplicated with a full ``distinct()`` — on collision-heavy
+    corpora that exchange dwarfs everything else in the query (measured
+    202 MB / ~30M rows at sf0.1 against 45 MB of distinct pairs). Here
+    each side carries its band-hash array and the join emits a pair
+    only from the SMALLEST band where the two hashes agree (an
+    unrolled prefix comparison), so every colliding pair appears
+    exactly once and no dedup exchange is needed (guide §2.4/§2.3: shuffle
+    keys and metadata, not the expansion). The candidate SET is
+    identical: pair shares >= 1 band <=> pair has a smallest shared
+    band. Cost: the banded rows carry ``bands`` longs instead of one —
+    O(n x bands) extra bytes through one small exchange, traded
+    against the O(sum bucket-size^2) dedup shuffle."""
+    banded = sigw.select(
+        "doc_id", _bh_arr_col(k, bands).alias("bh_arr")
+    ).localCheckpoint(eager=False)
+    e = _spread(
+        banded.select(
+            "doc_id", "bh_arr", F.posexplode("bh_arr").alias("band", "bh")
         ),
+        "band",
+        "bh",
     )
+    a = e.alias("a")
+    b = e.alias("b")
+    # "no earlier shared band", UNROLLED over the (small, build-time
+    # constant) band count into plain element_at comparisons: a
+    # higher-order exists/zip_with/slice filter here is interpreted
+    # (HOFs never enter whole-stage codegen) and allocates two sliced
+    # arrays per CANDIDATE row — measured 2.5x the whole query at
+    # sf0.1. The unrolled form is branch-free long compares.
+    earlier_collision = F.lit(False)
+    for j in range(bands - 1):
+        earlier_collision = earlier_collision | (
+            (F.lit(j) < F.col("a.band"))
+            & (
+                F.element_at(F.col("a.bh_arr"), j + 1)
+                == F.element_at(F.col("b.bh_arr"), j + 1)
+            )
+        )
     return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.conv(F.substring(F.md5(combined), 1, 15), 16, 10)
-            .cast("long")
-            .alias("bh")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(~earlier_collision)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
 
@@ -160,29 +266,12 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: candidate pairs share any band bucket. Self-join is
-    on the (band, bh) equi-key — a primitive BIGINT hash (see _banded),
-    bucketable at scale, never a cross join."""
-    sig = minhash_signatures(df, text_col, k, shingle_n)
-    # lineage-truncate before the self-join: both join branches consume
-    # banded, and without the checkpoint the whole shingle/minhash
-    # pipeline executes twice (Catalyst does not reuse exchanges across
-    # separately optimized subtrees).
-    banded = _banded(sig, k, bands).localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return pairs
+    on the (band, bh) equi-key — a primitive BIGINT hash, bucketable at
+    scale, never a cross join; pairs are emitted from their smallest
+    shared band, so the output is distinct with NO dedup exchange
+    (see _min_band_pairs; the checkpoint inside it lineage-truncates
+    before the self-join so the shingle/minhash pipeline runs once)."""
+    return _min_band_pairs(_sig_wide(df, text_col, k, shingle_n), k, bands)
 
 
 def _jaccard_set_graph(
@@ -229,7 +318,7 @@ def _jaccard_set_graph(
     swap localCheckpoint for ``checkpoint()`` on reliable storage
     (same note as operators/graph.py).
     """
-    sets_ = df.select(
+    sets_ = _spread_input(df).select(
         "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
     ).withColumn("set_key", F.md5(F.concat_ws("\x1f", "sh")))
     members = sets_.select(
@@ -242,33 +331,30 @@ def _jaccard_set_graph(
         .localCheckpoint(eager=False)
     )
 
-    # LSH over representatives only
+    # LSH over representatives only; candidate pairs are distinct by
+    # construction (smallest-shared-band emission, _min_band_pairs) so
+    # no dedup exchange follows the exploding self-join
     sh_exploded = reps.select("doc_id", "set_key", F.explode("sh").alias("shingle"))
     hashed = sh_exploded.select(
         "doc_id", *[_mh_col(F.col("shingle"), s).alias(f"h{s}") for s in range(k)]
     )
-    sig = (
-        hashed.groupBy("doc_id")
-        .agg(*[F.min(f"h{s}").alias(f"h{s}") for s in range(k)])
-        .select(
-            "doc_id",
-            F.posexplode(F.array(*[F.col(f"h{s}") for s in range(k)])).alias(
-                "seed", "mh"
-            ),
-        )
+    sigw = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(k)]
     )
-    banded = _banded(sig, k, bands).localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
-        .distinct()
+    # Rebalance the candidate stream BY PAIR before the verify joins:
+    # without this the broadcast verify + downstream expansion fuse
+    # into the band-partitioned generation stage, whose partitioning is
+    # hash(band, bh) — hot LSH buckets then serialize the whole query
+    # (measured: 158 CPU-s at average parallelism 2.4, 65s wall). Pair
+    # keys are unique and spread evenly; the exchange carries two
+    # BIGINTs per candidate (the old distinct() paid a 3.3x bigger
+    # exchange for the same balancing as a side effect of dedup).
+    cand = _spread(
+        _min_band_pairs(sigw, k, bands).select(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b")
+        ),
+        "rep_a",
+        "rep_b",
     )
 
     # exact verify once per candidate SET pair. The size-ratio gate
@@ -359,12 +445,19 @@ def jaccard_pairs(
     members, _rep_ids, verified = _jaccard_set_graph(
         df, text_col, threshold, shingle_n, k, bands
     )
-    # expand set pairs to doc pairs (output-bound work)
+    # expand set pairs to doc pairs (output-bound work). The membership
+    # table is BROADCAST: the pairs view is only usable where the pair
+    # output itself fits (SCALE WARNING above), and members is at most
+    # one row per doc — strictly smaller than the output — so the
+    # broadcast is bounded by the same contract. It keeps the exploding
+    # joins map-side, preserving the verified table's parallelism
+    # instead of re-shuffling the expansion through a coalesced
+    # exchange (guide §3.1).
     m1 = members.select(F.col("set_key").alias("key_a"), F.col("doc_id").alias("da"))
     m2 = members.select(F.col("set_key").alias("key_b"), F.col("doc_id").alias("db"))
     cross = (
-        verified.join(m1, "key_a")
-        .join(m2, "key_b")
+        verified.join(F.broadcast(m1), "key_a")
+        .join(F.broadcast(m2), "key_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -445,30 +538,97 @@ def jaccard_pairs_allpairs(
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: each word hashes to a ``bits``-wide value (md5 prefix);
     bit b of the fingerprint is the sign of Σ_words (±1 per word-bit).
-    Expressed as explode(words × bits) → two partial-aggregating
-    groupBys — linear in tokens, no UDFs."""
-    words = df.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col(text_col)))).alias("w")
-    ).where(F.length("w") > 0)
-    # word hash as a bits-wide integer (md5 first 8 hex chars)
-    wh = words.withColumn(
-        "wh", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+
+    Computed entirely ROW-LOCALLY (round 7): the word array is hashed
+    once per word with ``transform``; the 32 per-bit counts are
+    accumulated SWAR-style — 8 ``aggregate`` passes, each summing
+    ``(wh >> k) & 0x01010101`` so four bit-counts ride in the byte
+    lanes of one long. Per-bit count c_b is a shift/mask extract, and
+    bit b of the fingerprint is set iff 2*c_b > n_words (= the old
+    signed sum being positive). Integer arithmetic, order-independent,
+    so the result is bit-identical to the former explode(words × bits)
+    → two-groupBy formulation while shuffling NOTHING (guide §2.4: the
+    old plan shuffled tokens × bits rows twice; this plan has zero
+    exchanges). The lanes live in their OWN projection: referencing
+    them from the fingerprint expression directly would clone each
+    aggregate per reference (no CSE across HOF lambdas — measured 29
+    CPU-s vs ~8); CollapseProject keeps the projections separate
+    because the lane expressions are non-cheap and multiply
+    referenced. Docs whose filtered word array is empty produce no
+    row, exactly as the exploded form did. Documents with >= 255
+    distinct words take an exact array-accumulator fallback (byte-lane
+    overflow guard; one signed count per bit, any n); hash values are
+    32-bit, so fingerprint bits past 31 extract a zero lane and come
+    out 0 in every path."""
+    arr = F.filter(
+        F.array_distinct(_words(F.col(text_col))), lambda w: F.length(w) > 0
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # python-API shiftright/shiftleft require literal shift amounts; the
-    # SQL expressions accept a column
-    contrib = wh.select("doc_id", "wh", bit).withColumn(
-        "c",
-        F.when(F.expr("(shiftright(wh, bit) & 1) = 1"), 1).otherwise(-1),
+    hashed = _spread_input(df).select(
+        "doc_id",
+        F.transform(
+            arr,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        ).alias("wharr"),
+    ).where(F.size("wharr") > 0)
+
+    # 8 SWAR accumulators: acc_k byte-lane m holds count of bit (k+8m).
+    # (closure factories, not default-arg lambdas: pyspark HOFs bind a
+    # lambda parameter per positional arg, so a defaulted extra arg
+    # would become a lambda variable)
+    def _lane(k: int):
+        return F.aggregate(
+            F.col("wharr"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.shiftright(h, k).bitwiseAND(F.lit(0x01010101).cast("long")),
+        )
+
+    staged = hashed.select(
+        "doc_id",
+        "wharr",
+        F.size("wharr").alias("n"),
+        *[_lane(k).alias(f"lane{k}") for k in range(8)],
     )
-    bitsum = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
+
+    n = F.col("n")
+    fp_fast = None
+    for b in range(bits):
+        k, m = b % 8, b // 8
+        c_b = F.shiftright(F.col(f"lane{k}"), 8 * m).bitwiseAND(
+            F.lit(255).cast("long")
+        )
+        term = (
+            F.when(c_b * 2 > n, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp_fast = term if fp_fast is None else fp_fast + term
+
+    # exact fallback for >=255-distinct-word docs: all `bits` signed
+    # counts in ONE aggregate over an int-array accumulator (compact
+    # tree — a per-bit aggregate fallback costs seconds of codegen
+    # compile even when never taken)
+    masks = F.lit([1 << b for b in range(bits)])
+    sums = F.aggregate(
+        F.col("wharr"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
+    fp_slow = F.aggregate(
+        F.zip_with(
+            sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fp = F.when(n < 255, fp_fast).otherwise(fp_slow)
+    return staged.select("doc_id", fp.alias("simhash"))
 
 
 def embedding_near_dup(
@@ -489,10 +649,47 @@ def embedding_near_dup(
         )
     )
     nvec = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    df = emb.select(F.col(id_col).alias("vid"), nvec.alias("v"))
+    # `dim` is carried as its own column so the per-plane guard and
+    # slice below never reference the normalized-vector expression:
+    # projection collapsing inlines every reference to `v`, and each
+    # inline re-evaluates the norm aggregate (measured: 10x the CPU of
+    # the whole stage when sizes were taken from `v`).
+    df = _spread_input(emb).select(
+        F.col(id_col).alias("vid"),
+        nvec.alias("v"),
+        F.size(F.col(vec_col)).alias("dim"),
+    )
 
-    # plane p weight for dim i: md5-derived value in [-1, 1)
-    def plane_dot(p: int):
+    # Hyperplane weights depend only on (dim index, plane) — they are
+    # PRECOMPUTED here as one array literal per plane instead of being
+    # re-derived with md5/conv per vector element per plane (round 7:
+    # that md5 was ~all of a 3.5s single-task stage at sf0.1; guide
+    # §1.2 "per-task work"). hashlib.md5 of the identical string yields
+    # the identical 6-hex prefix, and value/2^23 - 1 is exactly
+    # representable, so the doubles — and every downstream sign —
+    # are bit-identical to the in-plan expression. Which expression is
+    # BUILT is decided by peeking one row's dimension (a limit-1 scan,
+    # no full pass): embeddings tables are fixed-dim in practice, and
+    # carrying the in-plan md5 expression as a per-row fallback costs
+    # ~2.4s of codegen compile per query even when no row takes it
+    # (measured). A ragged table that mixes dims across the table
+    # boundary fails loudly instead of silently truncating.
+    import hashlib
+
+    def _w(i: int, p: int) -> float:
+        h = hashlib.md5(f"{i}_{p}".encode()).hexdigest()[:6]
+        return int(h, 16) / 8388608.0 - 1.0
+
+    # size the table to the OBSERVED dimension: a Python list literal
+    # becomes a CreateArray of one child per element, and analysis of
+    # planes x 1024 literal children alone cost 4.5s of driver time
+    # (measured) — at dim 64 the right-sized table plans in <0.1s
+    peek = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    peek_dim = peek["d"] if peek is not None and peek["d"] is not None else 0
+    _W_DIMS = peek_dim
+
+    def plane_dot_md5(p: int):
+        # original expression: weight derived in-plan (any dim)
         return F.aggregate(
             F.zip_with(
                 F.col("v"),
@@ -516,13 +713,45 @@ def embedding_near_dup(
             lambda acc, x: acc + x,
         )
 
+    # md5 in-plan path only when the literal table is impractical
+    # (no rows, or dims so wide the literal itself bloats the plan)
+    use_lit = 0 < peek_dim <= 4096
+
+    def plane_dot(p: int):
+        if not use_lit:
+            return plane_dot_md5(p)
+        lit_w = F.lit([_w(i, p) for i in range(_W_DIMS)])
+        fast = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.slice(lit_w, 1, F.col("dim")),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(F.col("dim") <= _W_DIMS, fast).otherwise(
+            F.raise_error(
+                F.lit(
+                    "embedding_near_dup: vector wider than the "
+                    f"{_W_DIMS}-dim weight table in a table whose first "
+                    "row was narrower"
+                )
+            ).cast("double")
+        )
+
     sig = F.concat_ws(
         "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(planes)]
     )
     # lineage-truncate: the self-join consumes bucketed twice, and the
     # normalize + planes-many plane_dot projection is the expensive
     # part — without the checkpoint it executes once per join branch.
-    bucketed = df.withColumn("sig", sig).localCheckpoint(eager=False)
+    bucketed = _spread(
+        df.withColumn("sig", sig)
+        .select("vid", "v", "sig")
+        .localCheckpoint(eager=False),
+        "sig",
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cos = F.aggregate(
@@ -709,17 +938,35 @@ def _simhash_graph(
         lo = i * base
         width = bits - lo if i == nb - 1 else base
         mask = (1 << width) - 1
-        chunk_cols.append(
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.expr(f"shiftright(simhash, {lo}) & {mask}").alias("cv"),
-            )
-        )
-    chunked = groups.select(
-        "rep", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
-    ).select("rep", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+        chunk_cols.append(F.expr(f"shiftright(simhash, {lo}) & {mask}"))
+    # smallest-shared-chunk emission (same dedup-free candidate trick
+    # as _min_band_pairs): each side carries its chunk-value array and
+    # a pair is emitted only from the first chunk the two fingerprints
+    # agree on — distinct by construction, no dedup exchange
+    chunked = _spread(
+        groups.select(
+            "rep",
+            "simhash",
+            F.array(*chunk_cols).alias("cv_arr"),
+        ).select(
+            "rep", "simhash", "cv_arr", F.posexplode("cv_arr").alias("ci", "cv")
+        ),
+        "ci",
+        "cv",
+    )
     a = chunked.alias("a")
     b = chunked.alias("b")
+    # unrolled "no earlier shared chunk" — see _min_band_pairs for why
+    # this is element_at compares, not a HOF filter
+    earlier_chunk = F.lit(False)
+    for j in range(nb - 1):
+        earlier_chunk = earlier_chunk | (
+            (F.lit(j) < F.col("a.ci"))
+            & (
+                F.element_at(F.col("a.cv_arr"), j + 1)
+                == F.element_at(F.col("b.cv_arr"), j + 1)
+            )
+        )
     verified = (
         a.join(
             b,
@@ -727,13 +974,13 @@ def _simhash_graph(
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.rep") < F.col("b.rep")),
         )
+        .where(~earlier_chunk)
         .select(
             F.col("a.rep").alias("rep_a"),
             F.col("b.rep").alias("rep_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
@@ -756,11 +1003,13 @@ def simhash_near_dup(
     Full recall at hamming <= max_hamming (pigeonhole banding is
     exhaustive, unlike probabilistic MinHash LSH)."""
     members, verified = _simhash_graph(df, text_col, bits, max_hamming)
+    # broadcast expansion: same bounded-by-the-output argument as
+    # jaccard_pairs (members <= pairs view's own output size)
     m1 = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
     m2 = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
     cross = (
-        verified.join(m1, "rep_a")
-        .join(m2, "rep_b")
+        verified.join(F.broadcast(m1), "rep_a")
+        .join(F.broadcast(m2), "rep_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),

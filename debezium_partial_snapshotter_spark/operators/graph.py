@@ -45,19 +45,33 @@ def connected_components(
     optionally supplies the full vertex set (isolated vertices become
     singleton components); otherwise vertices are the edge endpoints.
 
-    Invariants maintained every round (proof of correctness):
-    (a) label(v) <= v, (b) label(v) is a node id inside v's component.
-    Propagation takes the min over neighbor labels (preserves both);
-    pointer jumping replaces label(v) with label(label(v)) — legal
-    because (b) holds for the label node itself. At the fixpoint,
-    symmetry forces label(u) == label(v) across every edge, so labels
-    are constant per component, and (a)+(b) pin that constant to the
-    component minimum."""
-    # NO distinct() on the edge list: duplicate edges only add rows to
-    # the min-aggregating propagate step, which partial-aggregates them
-    # away map-side — dedup here would cost a full wide shuffle of |E|
-    # (then another for the symmetrized union) purely to remove rows
-    # the aggregation absorbs for free.
+    Round-7 formulation: min-label CONTRACTION. The edge list is kept
+    in CURRENT-LABEL space, so the propagate step needs no join at all
+    (the neighbor's label IS the edge endpoint): newl(l) = min(l, min
+    incoming endpoint) is one partial-aggregating groupBy over E. Each
+    round then contracts E to (newl(s), newl(d)), drops self-loops and
+    dedups — on real near-dup graphs (dense components) E collapses by
+    orders of magnitude after round 1, so only the FIRST round touches
+    the full edge list, where the old formulation re-shuffled all of E
+    every round (measured 69 MB/round x ~6 rounds at sf0.1). A FULL
+    pointer shortcut on newl (doubling self-joins with early exit,
+    O(labels) each) keeps the round count O(log diameter) on path-like
+    graphs. Convergence is
+    "E is empty" — a cheap check on the just-checkpointed edges — in
+    place of the old per-round label-diff join+count.
+
+    Invariants (proof of correctness, unchanged from the join-based
+    version): (a) label(v) <= v, (b) label(v) is a node id inside v's
+    component. Propagation takes min over {l} ∪ neighbors (preserves
+    both); the jump substitutes newl(newl(l)), legal because (b) holds
+    for the label node itself; the contracted edge set E_t is exactly
+    the image of the symmetrized input under the current mapping M_t
+    minus self-loops (induction: E_0 = sym, M_0 = id; E_{t+1} =
+    newl2∘E_t, M_{t+1} = newl2∘M_t, and labels absent from newl2's
+    domain have no incident edge so nothing can merge into them). E
+    empty therefore means M is constant across every input edge, i.e.
+    constant per component; (a)+(b) pin that constant to the component
+    minimum (the min node m always has M(m) = m)."""
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
@@ -78,53 +92,78 @@ def connected_components(
             .distinct()
         )
 
-    sym = sym.localCheckpoint(eager=True)
-    lab = verts.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=True
+    ecur = sym.localCheckpoint(eager=True)
+    # M: original node -> current label. Lazy checkpoint per round: the
+    # chain is a sequence of O(labels) joins against checkpointed
+    # inputs, materialized once when the result is consumed; plan depth
+    # stays O(1) per round either way.
+    m = verts.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
     )
 
-    changed = -1
+    converged = False
     for _ in range(max_iter):
-        # propagate: label(v) <- min(label(v), min over neighbors u of label(u))
-        nbr_min = (
-            sym.join(lab, sym["s"] == lab["node"])
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("label").alias("nbr"))
-        )
-        prop = (
-            lab.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
-            )
-        )
-        # pointer jump: label(v) <- label(label(v))
-        l2 = lab.select(
-            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
-        )
-        jumped = (
-            prop.join(l2, prop["label"] == l2["jnode"], "left")
-            .select(
-                "node", F.coalesce("jlabel", "label").alias("label")
-            )
-        ).localCheckpoint(eager=True)
-
-        changed = (
-            jumped.join(lab.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        lab = jumped
-        if changed == 0:
+        if ecur.isEmpty():
+            converged = True
             break
-    if changed != 0:
-        # returning partially-propagated labels would silently split
+        # propagate within label space: newl(l) = min(l, min neighbor).
+        # sym is symmetric, so every edge-incident label appears as d.
+        newl = (
+            ecur.groupBy(F.col("d").alias("l"))
+            .agg(F.min("s").alias("nl"))
+            .select("l", F.least("l", "nl").alias("nl"))
+            .localCheckpoint(eager=False)
+        )
+        # FULL pointer shortcut by doubling: composing newl with itself
+        # squares the pointer reach, so depth-d pointer chains collapse
+        # in ceil(log2 d) tiny O(labels) self-joins — without this a
+        # path graph contracts by only a constant per round. The early
+        # exit makes it 1-2 iterations on dense near-dup graphs; the
+        # iteration cap is a safety net only (reach 2^16 per round),
+        # correctness never depends on how far the shortcut got
+        # because convergence is detected on the edge set.
+        for _ in range(16):
+            j = newl.select(F.col("l").alias("jl"), F.col("nl").alias("jnl"))
+            nxt = (
+                newl.join(j, newl["nl"] == j["jl"], "left")
+                .select(
+                    "l",
+                    F.coalesce("jnl", "nl").alias("nl"),
+                    (F.coalesce("jnl", "nl") != F.col("nl")).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            done = nxt.where("chg").isEmpty()
+            newl = nxt.select("l", "nl")
+            if done:
+                break
+        newl2 = newl.localCheckpoint(eager=False)  # consumed by 3 joins below
+        # contract the edge list; most edges become self-loops and are
+        # dropped map-side before the distinct's exchange
+        n_s = newl2.select(F.col("l").alias("s"), F.col("nl").alias("ns"))
+        n_d = newl2.select(F.col("l").alias("d"), F.col("nl").alias("nd"))
+        ecur = (
+            ecur.join(n_s, "s")
+            .join(n_d, "d")
+            .select(F.col("ns").alias("s"), F.col("nd").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # compose the mapping: labels without an entry in newl2 have no
+        # incident edge and are final
+        m = (
+            m.join(newl2, m["label"] == newl2["l"], "left")
+            .select("node", F.coalesce("nl", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    if not converged and not ecur.isEmpty():
+        # returning partially-contracted labels would silently split
         # one real component into several clusters — fail loudly
-        # instead (pointer jumping needs only O(log diameter) rounds,
-        # so hitting this means max_iter is badly undersized)
+        # instead (contraction + jumping needs only O(log diameter)
+        # rounds, so hitting this means max_iter is badly undersized)
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing)"
+            f"connected_components did not converge in {max_iter} rounds"
         )
 
-    return lab.select("node", F.col("label").alias("component"))
+    return m.select("node", F.col("label").alias("component"))

@@ -291,8 +291,9 @@ def _jaccard_set_graph(
     - ``rep_ids``: (set_key, doc_id) — the representative (min doc_id)
       per distinct set, already derived from the checkpointed members
       (returned so callers don't recompute the identical aggregation);
-    - ``verified``: (key_a, key_b, rep_a, rep_b, inter, vsz_a, vsz_b,
-      jaccard) — set pairs with exact Jaccard >= threshold.
+    - ``verified``: (rep_a, rep_b, inter, vsz_a, vsz_b, jaccard) — set
+      pairs (identified by their representatives' doc_ids) with exact
+      Jaccard >= threshold.
 
     Everything here is linear in docs x shingles plus candidates: set
     canonicalization collapses duplicate-heavy corpora BEFORE the LSH,
@@ -302,21 +303,21 @@ def _jaccard_set_graph(
     view) does that expansion; ``near_dup_clusters`` (the 100-TB
     deliverable) goes straight to cluster assignments instead.
 
-    The shared intermediates (``members``, ``reps``, ``banded``) are
-    lineage-truncated with ``localCheckpoint``: downstream consumes
-    each from MULTIPLE join branches (the banded self-join alone uses
-    two), and Catalyst does not reuse exchanges across separately
-    optimized subtrees — without the checkpoint the shingle/md5
-    pipeline re-executes ~8x per query (measured 88s -> 9s for the
-    verified graph at sf0.1). What gets materialized is deliberately
-    small: ``members`` is three narrow columns per doc (NOT the
-    shingle arrays — checkpointing ``sets_`` itself would pin an
-    O(corpus) copy of every array in executor storage), ``reps`` and
-    ``banded`` are O(distinct sets). The array-carrying ``sets_``
-    plan is recomputed exactly twice (members materialization + the
-    reps join), each a single corpus projection. On a real cluster
-    swap localCheckpoint for ``checkpoint()`` on reliable storage
-    (same note as operators/graph.py).
+    The shared intermediates (``members``, ``sh_exploded``, ``vocab``,
+    ``reps_int``) are lineage-truncated with ``localCheckpoint``:
+    downstream consumes each from MULTIPLE join branches, and Catalyst
+    does not reuse exchanges across separately optimized subtrees —
+    without the checkpoint the shingle/md5 pipeline re-executes ~8x
+    per query (measured 88s -> 9s for the verified graph at sf0.1).
+    What gets materialized is deliberately small: ``members`` is three
+    narrow columns per doc (NOT the shingle arrays — checkpointing
+    ``sets_`` itself would pin an O(corpus) copy of every array in
+    executor storage); ``sh_exploded``/``vocab``/``reps_int`` are
+    O(distinct sets x set size). The array-carrying ``sets_`` plan is
+    recomputed exactly twice (members materialization + the reps
+    join), each a single corpus projection. On a real cluster swap
+    localCheckpoint for ``checkpoint()`` on reliable storage (same
+    note as operators/graph.py).
     """
     sets_ = _spread_input(df).select(
         "doc_id", F.sort_array(_shingle_arr(text_col, shingle_n)).alias("sh")
@@ -325,16 +326,15 @@ def _jaccard_set_graph(
         "set_key", "doc_id", F.size("sh").cast("long").alias("sz")
     ).localCheckpoint(eager=False)
     rep_ids = members.groupBy("set_key").agg(F.min("doc_id").alias("doc_id"))
-    reps = (
-        rep_ids.join(sets_, ["set_key", "doc_id"])
-        .select("set_key", "doc_id", "sh")
-        .localCheckpoint(eager=False)
-    )
+    reps = rep_ids.join(sets_, ["set_key", "doc_id"]).select("doc_id", "sh")
 
     # LSH over representatives only; candidate pairs are distinct by
     # construction (smallest-shared-band emission, _min_band_pairs) so
-    # no dedup exchange follows the exploding self-join
-    sh_exploded = reps.select("doc_id", "set_key", F.explode("sh").alias("shingle"))
+    # no dedup exchange follows the exploding self-join. sh_exploded is
+    # the checkpoint (3 consumers: minhash, vocab, reps_int).
+    sh_exploded = reps.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=False)
     hashed = sh_exploded.select(
         "doc_id", *[_mh_col(F.col("shingle"), s).alias(f"h{s}") for s in range(k)]
     )
@@ -357,33 +357,50 @@ def _jaccard_set_graph(
         "rep_b",
     )
 
+    # DICTIONARY-ENCODE the shingle sets for the verify (round 7):
+    # every candidate row used to carry two 32-char set_key strings and
+    # two string arrays through two joins (~600 B/row x millions of
+    # candidates — most of the verify stage's CPU was row copying and
+    # string hashing, guide §2.3 "narrower types"). Shingles map to
+    # dense BIGINT ids (a bijection, so intersection and set sizes are
+    # IDENTICAL — exactness does not rest on hashing); the ids live in
+    # one lazily-checkpointed vocab so every branch reads the same
+    # materialized mapping. set_keys left the verify entirely — rep
+    # ids identify the pair; the pairs view re-derives membership.
+    vocab = (
+        sh_exploded.select("shingle")
+        .distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    reps_int = (
+        sh_exploded.join(vocab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("shi"))
+        .localCheckpoint(eager=False)
+    )
+
     # exact verify once per candidate SET pair. The size-ratio gate
     # runs BEFORE the array_intersect: J >= t forces
-    # min(sz)/max(sz) >= t, and sizes are already materialized — at
-    # scale this drops most false LSH candidates without ever touching
-    # the shingle arrays. Output-identical by construction.
-    ra = reps.select(
-        F.col("doc_id").alias("rep_a"),
-        F.col("set_key").alias("key_a"),
-        F.col("sh").alias("sh_a"),
+    # min(sz)/max(sz) >= t — at scale this drops most false LSH
+    # candidates without ever touching the id arrays. Output-identical
+    # by construction.
+    ra = reps_int.select(
+        F.col("doc_id").alias("rep_a"), F.col("shi").alias("shi_a")
     )
-    rb = reps.select(
-        F.col("doc_id").alias("rep_b"),
-        F.col("set_key").alias("key_b"),
-        F.col("sh").alias("sh_b"),
+    rb = reps_int.select(
+        F.col("doc_id").alias("rep_b"), F.col("shi").alias("shi_b")
     )
     sized = (
         cand.join(ra, "rep_a")
         .join(rb, "rep_b")
         .select(
-            "key_a",
-            "key_b",
             "rep_a",
             "rep_b",
-            "sh_a",
-            "sh_b",
-            F.size("sh_a").cast("long").alias("vsz_a"),
-            F.size("sh_b").cast("long").alias("vsz_b"),
+            "shi_a",
+            "shi_b",
+            F.size("shi_a").cast("long").alias("vsz_a"),
+            F.size("shi_b").cast("long").alias("vsz_b"),
         )
         .where(
             # the exact filter below is round(J, 4) >= t, which admits
@@ -398,11 +415,9 @@ def _jaccard_set_graph(
     )
     verified = (
         sized.select(
-            "key_a",
-            "key_b",
             "rep_a",
             "rep_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            F.size(F.array_intersect("shi_a", "shi_b")).cast("long").alias("inter"),
             "vsz_a",
             "vsz_b",
         )
@@ -453,11 +468,14 @@ def jaccard_pairs(
     # joins map-side, preserving the verified table's parallelism
     # instead of re-shuffling the expansion through a coalesced
     # exchange (guide §3.1).
-    m1 = members.select(F.col("set_key").alias("key_a"), F.col("doc_id").alias("da"))
-    m2 = members.select(F.col("set_key").alias("key_b"), F.col("doc_id").alias("db"))
+    rep_members = members.join(
+        _rep_ids.withColumnRenamed("doc_id", "rep"), "set_key"
+    )
+    m1 = rep_members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
+    m2 = rep_members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
     cross = (
-        verified.join(F.broadcast(m1), "key_a")
-        .join(F.broadcast(m2), "key_b")
+        verified.join(F.broadcast(m1), "rep_a")
+        .join(F.broadcast(m2), "rep_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),

@@ -50,6 +50,22 @@ def salt(col: Column, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n_salts)).cast("int")
 
 
+def spread_input(df) -> "DataFrame":
+    """Round-robin-spread a NARROW scan before heavy per-row compute
+    (hashing pipelines, vectorized Python decode, dot products).
+    Parquet cannot split below a row group, so a small input arrives as
+    one task and the whole compute stage runs serially (guide §2.5
+    input skew: "one huge unsplittable file ... repartition immediately
+    after the read"). Conditional on the scan's actual split count:
+    inputs that already scan with >= the configured shuffle parallelism
+    — anything at real scale — pass through untouched, so no
+    corpus-sized shuffle is ever added."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def table_partition(table: str, bucket: Column) -> Column:
     """Render the unit of snapshot work, e.g. ``tokens/0007``
     (generalizes the reference's schema-qualified table name,

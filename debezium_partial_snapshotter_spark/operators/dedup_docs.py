@@ -49,20 +49,11 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _spread_input(df: DataFrame) -> DataFrame:
-    """Round-robin-spread a NARROW scan before heavy per-row compute
-    (md5-per-shingle pipelines). Parquet cannot split below a row
-    group, so a small input arrives as one task and the whole hashing
-    stage runs serially (measured: 2.3s single-task minhash stage at
-    sf0.1). The repartition is conditional on the scan's actual split
-    count: inputs that already scan with >= the configured shuffle
-    parallelism — i.e. anything at real scale — pass through untouched,
-    so no corpus-sized shuffle is ever added (guide §2.5 input skew:
-    "one huge unsplittable file ... repartition immediately after the
-    read")."""
-    p = _shuffle_partitions(df)
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p)
+    """See functions.spread_input (measured here: 2.3s single-task
+    minhash stage at sf0.1 without it)."""
+    from debezium_partial_snapshotter_spark.functions import spread_input
+
+    return spread_input(df)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -95,7 +95,12 @@ def connected_components(
             .distinct()
         )
 
-    ecur = sym.localCheckpoint(eager=True)
+    # one action materializes the checkpoint blocks AND answers the
+    # emptiness check (an eager checkpoint + separate isEmpty costs two
+    # jobs per round; the cluster queries run dozens of these tiny
+    # driver round-trips)
+    ecur = sym.localCheckpoint(eager=False)
+    n_edges = ecur.count()
     # M: original node -> current label. Lazy checkpoint per round: the
     # chain is a sequence of O(labels) joins against checkpointed
     # inputs, materialized once when the result is consumed; plan depth
@@ -106,7 +111,7 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
-        if ecur.isEmpty():
+        if n_edges == 0:
             converged = True
             break
         # propagate within label space: newl(l) = min(l, min neighbor).
@@ -151,8 +156,9 @@ def connected_components(
             .select(F.col("ns").alias("s"), F.col("nd").alias("d"))
             .where(F.col("s") != F.col("d"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_edges = ecur.count()
         # compose the mapping: labels without an entry in newl2 have no
         # incident edge and are final
         m = (
@@ -160,7 +166,7 @@ def connected_components(
             .select("node", F.coalesce("nl", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
-    if not converged and not ecur.isEmpty():
+    if not converged and n_edges != 0:
         # returning partially-contracted labels would silently split
         # one real component into several clusters — fail loudly
         # instead (contraction + jumping needs only O(log diameter)

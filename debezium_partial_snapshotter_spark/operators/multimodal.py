@@ -83,7 +83,15 @@ def fake_decode_meta(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(decode, schema=META_SCHEMA)
+    # ship ONLY the columns the decoder reads (mapInPandas is opaque to
+    # column pruning — guide §4.1). Deliberately NOT spread across
+    # tasks here: each Python worker pays a pandas/pyarrow import on
+    # first use, and with this stub's trivial per-row work a 32-task
+    # spread cost 56 CPU-s of worker spin-up against 1.5 CPU-s of
+    # decode (measured) — a real heavyweight decoder amortizes the
+    # import and inherits parallelism from real-scale scan splits.
+    src = media.select("media_id", "kind", "payload")
+    return src.mapInPandas(decode, schema=META_SCHEMA)
 
 
 def decode_image(media: DataFrame) -> DataFrame:

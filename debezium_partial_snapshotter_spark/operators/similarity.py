@@ -48,7 +48,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine. queries is broadcast; ranking window
     partitions by query id (bounded: k rows survive per query)."""
-    c = _normed(corpus, id_col, vec_col, "item_id")
+    from debezium_partial_snapshotter_spark.functions import spread_input
+
+    # the corpus-side normalize + |corpus| x |queries| dot products are
+    # the heavy pass; a one-row-group scan would run it in one task
+    # (measured 1.2s single-task stage at sf0.1)
+    c = _normed(spread_input(corpus), id_col, vec_col, "item_id")
     q = _normed(queries, id_col, vec_col, "query_id")
     scored = c.join(F.broadcast(q)).where(
         F.col("item_id") != F.col("query_id")
@@ -75,7 +80,11 @@ def assign_cells(
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: centroids = the first n_cells vectors by id
     (deterministic); each vector joins its argmax-cosine cell."""
-    c = _normed(corpus, id_col, vec_col, "item_id")
+    from debezium_partial_snapshotter_spark.functions import spread_input
+
+    # same single-task-scan hazard as cosine_topk: the assignment pass
+    # scores every vector against every centroid
+    c = _normed(spread_input(corpus), id_col, vec_col, "item_id")
     cents = _normed(
         corpus.orderBy(id_col).limit(n_cells), id_col, vec_col, "cell"
     )

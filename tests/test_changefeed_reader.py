@@ -658,3 +658,68 @@ def test_mirror_maintains_downstream_storage(spark, tmp_warehouse):
     replay.start(from_version=frm)
     rb = replay.poll(spark, mode="delta", to_version=to)
     assert apply_feed(down, rb.df, commit_key=f"cf:{frm}:{to}") is False
+
+
+def test_cursor_seq_chain_is_garbage_collected(spark, tmp_warehouse):
+    """VERDICT r6 item 2: the cursor directory must stay bounded —
+    one JSON per commit forever is the unbounded-metadata class the
+    manifest expire work already solved for the table itself."""
+    table, vs = _build(spark, tmp_warehouse)
+    cdir = os.path.join(tmp_warehouse, "cursor_gc")
+    r = ChangefeedReader(table, cdir)
+    r.start(from_version=vs[0])
+    for _ in range(50):  # empty-range commits advance the seq chain
+        r.commit(r.poll(spark, to_version=vs[0] + 0))
+    files = [f for f in os.listdir(cdir) if f.endswith(".json")]
+    assert len(files) <= ChangefeedReader.KEEP_SEQS
+    # the retained window still serves reads and concurrent detection
+    assert r.cursor() == vs[0]
+    b = r.poll(spark)
+    r2 = ChangefeedReader(table, cdir)
+    r2.commit(r2.poll(spark))
+    with pytest.raises(ConcurrentConsumerError):
+        r.commit(b)
+
+
+def test_far_behind_cursor_skips_manifest_walk(spark, tmp_warehouse):
+    """VERDICT r6 item 4: a cursor more than max_delta_epochs behind
+    must not pay one driver-side manifest read per epoch before the
+    fallback."""
+    table, vs = _build(spark, tmp_warehouse)
+    cdir = os.path.join(tmp_warehouse, "cursor_cap")
+    r = ChangefeedReader(table, cdir, max_delta_epochs=2)
+    r.start(from_version=vs[0])
+
+    def no_walk(*a, **k):
+        raise AssertionError("eligibility probe walked the chain")
+
+    r._chain = no_walk  # the cap must skip the probe outright
+    b = r.poll(spark, mode="delta")  # range spans 4 > 2 epochs
+    assert b.fast_path is False
+    assert b.epochs == vs[-1] - vs[0]
+    # the capped poll is still correct: same rows as the net feed
+    rows = {
+        x["doc_id"]
+        for x in b.df.where("_change_type = 'upsert'").collect()
+    }
+    net = {
+        x["doc_id"]
+        for x in table.read_changes(spark, vs[0], vs[-1])
+        .where("_change_type <> 'delete'")
+        .collect()
+    }
+    assert rows == net
+
+
+def test_commit_bootstrap_refuses_rewind(spark, tmp_warehouse):
+    """ADVICE r6: a concurrent instance that advanced the cursor past
+    the bootstrap's to_version must not be rewound."""
+    table, vs = _build(spark, tmp_warehouse)
+    cdir = os.path.join(tmp_warehouse, "cursor_bt")
+    r = ChangefeedReader(table, cdir)
+    r.start(from_version=vs[1])
+    boot = r.bootstrap(spark)
+    # a concurrent consumer advances the cursor past the boot target
+    r._write_seq(r._seqs()[-1] + 1, boot.to_version + 5)
+    with pytest.raises(ConcurrentConsumerError, match="advanced"):
+        r.commit_bootstrap(boot)

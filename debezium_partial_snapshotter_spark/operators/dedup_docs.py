@@ -651,7 +651,6 @@ def embedding_near_dup(
     pseudo-random hyperplanes from md5 of (dim, plane)) then exact
     cosine verify within buckets. The bucket join is an equi-join —
     no cross join at any scale."""
-    dim = F.size(F.col(vec_col))
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x

@@ -572,7 +572,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     arr = F.filter(
         F.array_distinct(_words(F.col(text_col))), lambda w: F.length(w) > 0
     )
-    hashed = _spread_input(df).select(
+    # no input spread here: the row-local fingerprint is cheap enough
+    # (one md5 per distinct word + integer lane sums) that the
+    # conditional repartition's extra exchange costs more than the
+    # single-task compute it parallelizes (A/B measured ~1s/query
+    # slower WITH the spread across the simhash family at sf0.1; at
+    # real scale the scan splits naturally anyway)
+    hashed = df.select(
         "doc_id",
         F.transform(
             arr,
@@ -661,8 +667,11 @@ def embedding_near_dup(
     # slice below never reference the normalized-vector expression:
     # projection collapsing inlines every reference to `v`, and each
     # inline re-evaluates the norm aggregate (measured: 10x the CPU of
-    # the whole stage when sizes were taken from `v`).
-    df = _spread_input(emb).select(
+    # the whole stage when sizes were taken from `v`). No input spread:
+    # with the literal weight tables the bucketer is cheap enough that
+    # the conditional repartition costs more than it saves (A/B:
+    # 1.76s vs 3.26s at sf0.1).
+    df = emb.select(
         F.col(id_col).alias("vid"),
         nvec.alias("v"),
         F.size(F.col(vec_col)).alias("dim"),

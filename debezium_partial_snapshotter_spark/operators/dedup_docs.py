@@ -175,6 +175,11 @@ def _bh_arr_col(k: int, bands: int):
     sorted values are md5-combined and truncated to the same 60-bit
     BIGINT, byte-identical to the former row formulation (sort_array
     over the same elements)."""
+    if k % bands != 0:
+        # the pre-round-7 row formulation silently produced a ragged
+        # extra band from the leftover seeds; no caller used that, and
+        # an explicit contract beats quietly diverging band layouts
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows_per_band = k // bands
     if rows_per_band == 1:
         return F.array(*[F.col(f"h{s}") for s in range(k)])
